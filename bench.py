@@ -1,0 +1,77 @@
+"""Benchmark: flagship training throughput on the default device.
+
+Prints ONE JSON line:
+  {"metric": "train_examples_per_s", "value": N, "unit": "examples/s",
+   "vs_baseline": N / TORCH_CPU_BASELINE}
+
+Geometry = the Yelp recipe (configs/yelpOneEmbGcn.yaml): 5949x2810 catalog,
+batch 1024, dims [1000], 5 diffusion steps, DNNOneHotEmbeddingGCN backbone.
+The baseline constant is the torch-CPU mirror's measured examples/s on this
+machine (benchmarks/torch_cpu_baseline.py); re-measure with --measure-baseline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gdmcf_tpu.config import Config
+from gdmcf_tpu.train.trainer import Trainer
+
+# benchmarks/torch_cpu_baseline.py on this 4-vCPU host (see that file's
+# docstring for why this stands in for the reference's own number).
+TORCH_CPU_BASELINE_EPS = 239.5
+
+N_USER, N_ITEM = 5949, 2810
+
+
+def measure(batch=1024, iters=30, warmup=5, seed=0):
+    cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[1000], emb_size=10,
+                 steps=5, noise_scale=0.01, noise_min=0.001, noise_max=0.01,
+                 batch_size=batch, lr=1e-5)
+    trainer = Trainer(cfg, n_user=N_USER, n_item=N_ITEM)
+    state = trainer.init_state()
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray((rng.random((batch, N_ITEM)) < 0.01).astype(np.float32))
+    idx = jnp.asarray(rng.permutation(N_USER)[:batch].astype(np.int32))
+
+    for _ in range(warmup):
+        state, loss = trainer._train_step(state, x, idx)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = trainer._train_step(state, x, idx)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--measure-baseline", action="store_true")
+    args = ap.parse_args()
+
+    baseline = TORCH_CPU_BASELINE_EPS
+    if args.measure_baseline:
+        from benchmarks.torch_cpu_baseline import run as run_baseline
+        baseline = run_baseline(batch=args.batch, iters=10)
+
+    eps = measure(batch=args.batch, iters=args.iters)
+    print(json.dumps({
+        "metric": "train_examples_per_s",
+        "value": round(eps, 2),
+        "unit": "examples/s",
+        "vs_baseline": round(eps / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

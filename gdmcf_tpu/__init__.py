@@ -1,0 +1,23 @@
+"""gdmcf_tpu — a TPU-native graph-diffusion recommender framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of the GDMCF
+reference (a single-GPU PyTorch research codebase; see SURVEY.md). The compute
+path is pure-functional JAX compiled by XLA for TPU: static shapes, dense-masked
+graph propagation on the MXU, fused reverse-diffusion sampling via ``lax.scan``,
+and mesh sharding (``jax.sharding``) for data/catalog parallelism.
+
+Layer map (bottom-up, mirroring SURVEY.md §1):
+  ops/        L0  kernels: SpMM (Pallas), vectorized ranking metrics, top-k
+  data/       L1  edge-list -> CSR ingest, batching, graph format converters
+  models/     L2+L3  dense bipartite GCN propagation + denoiser backbones
+  diffusion/  L4  schedules, continuous+discrete channels, losses, sampler
+  train/      L6  jitted train/eval loops, checkpointing, early stop
+  parallel/   mesh construction and sharding rules (DP x catalog-MP)
+  config.py   L7  typed config with YAML presets + CLI overrides
+"""
+
+__version__ = "0.1.0"
+
+from gdmcf_tpu.config import Config, load_config
+
+__all__ = ["Config", "load_config", "__version__"]

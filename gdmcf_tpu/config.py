@@ -1,0 +1,191 @@
+"""Typed configuration for gdmcf_tpu.
+
+Mirrors every flag of the reference CLI (``/root/reference/parse_args_util.py:7-46``)
+with identical names and defaults so the reference's YAML recipes
+(``/root/reference/config/*.yaml``) load unchanged, plus TPU-framework extras
+(mesh shape, dtypes, fidelity/quirk switches) that the reference does not have.
+
+The reference uses ``configargparse`` (YAML preset + CLI override). Here the same
+behavior is built from a dataclass + PyYAML + argparse: ``-c file.yaml`` loads the
+preset, any explicitly-passed CLI flag overrides it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import yaml
+
+
+@dataclass
+class Config:
+    # ---- data (reference parse_args_util.py:7-8) ----
+    dataset: str = "yelp_clean"
+    data_path: str = "./Datasets/yelp_clean/"
+
+    # ---- optimization (parse_args_util.py:9-13) ----
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    batch_size: int = 400
+    random_seed: int = 1
+    epochs: int = 1000
+
+    # ---- evaluation (parse_args_util.py:14-15) ----
+    topN: List[int] = field(default_factory=lambda: [10, 20, 50, 100])
+    tst_w_val: bool = False
+
+    # ---- runtime/logging (parse_args_util.py:16-22) ----
+    cuda: bool = False  # accepted for recipe compatibility; device choice is JAX's
+    gpu: str = "0"      # ignored on TPU; kept so reference commands parse
+    save_path: str = "./saved_models/"
+    log_name: str = "log"
+    round: int = 1
+    out_name: str = "GDMCF"
+    debug: bool = False
+
+    # ---- model switches (parse_args_util.py:23-34) ----
+    noise_type: int = 0        # 0 both channels, 1 drop continuous, 2 drop discrete
+    gcnLayerNum: int = 2
+    user_guided: int = 1
+    time_type: str = "cat"
+    dims: List[int] = field(default_factory=lambda: [1000])
+    norm: bool = False
+    emb_size: int = 10
+    backbone: str = "DNNOneHotEmbeddingGCN"
+    OneHotMatrix: int = 2      # 0 default, 1 block one-hot matrix, 2 class one-hot
+
+    # ---- diffusion (parse_args_util.py:36-46) ----
+    mean_type: str = "x0"      # x0 | eps
+    steps: int = 100
+    noise_schedule: str = "linear-var"  # linear | linear-var | cosine | binomial
+    noise_scale: float = 0.1
+    noise_min: float = 0.001
+    noise_max: float = 0.01
+    sampling_noise: bool = False
+    sampling_steps: int = 25
+    reweight: bool = True
+    discrete: float = 0.9995   # epsilon of the 2-state transition matrix
+
+    # ---- TPU-framework extras (no reference equivalent) ----
+    # Reference main.py:147 hard-truncates to 3000 users ("sample less data").
+    # None = use the full dataset; set 3000 to reproduce the snapshot exactly.
+    n_user_cap: Optional[int] = None
+    # Reproduce reference quirks exactly (SURVEY.md §3.5). When False, use the
+    # corrected semantics:
+    #   - alpha_bar for the discrete channel indexes the cumprod table at ts
+    #     instead of the reference's ts/batch_size scalar
+    #     (reference models/gaussian_diffusion.py:775-776)
+    #   - model selection uses the valid metric for the running best instead of
+    #     mixing valid (comparison) with test (stored) (reference main.py:362-363)
+    fidelity: bool = True
+    # Make the batch-local bipartite GCN graph undirected. The reference's
+    # directed user->item edge_index (models/DNN.py:1217-1219) means user rows
+    # only ever see their own self-loop inside GCNConv; False reproduces that.
+    symmetric_gcn: bool = False
+    dropout: float = 0.5
+    param_dtype: str = "float32"    # parameter storage dtype
+    compute_dtype: str = "float32"  # matmul dtype ("bfloat16" for MXU-speed)
+    eval_every: int = 5             # reference main.py:353
+    early_stop_patience: int = 200  # reference main.py:316-319
+    history_num_per_term: int = 10  # Lt importance-sampler ring size
+    beta_fixed: bool = True
+    # mesh: total devices = dp * mp; mp shards the item-catalog axis
+    mesh_dp: int = 1
+    mesh_mp: int = 1
+    # data loading
+    drop_last: bool = True
+    shuffle: bool = True
+    # checkpointing
+    ckpt_dir: Optional[str] = None
+    resume: bool = False
+
+    def __post_init__(self):
+        if isinstance(self.topN, str):
+            self.topN = list(yaml.safe_load(self.topN))
+        if isinstance(self.dims, str):
+            self.dims = list(yaml.safe_load(self.dims))
+        if self.mean_type not in ("x0", "eps"):
+            raise ValueError(f"Unimplemented mean type {self.mean_type}")
+        if self.time_type != "cat":
+            raise ValueError(f"Unimplemented timestep embedding type {self.time_type}")
+
+    # -- derived helpers ------------------------------------------------------
+    def out_dims(self, n_item: int) -> List[int]:
+        """Reference main.py:198-206: out = dims + [n_item], in = reversed."""
+        out = list(self.dims) + [n_item]
+        if self.OneHotMatrix == 1:
+            out = list(self.dims) + [n_item + self.batch_size]
+        return out
+
+    def in_dims(self, n_item: int) -> List[int]:
+        return self.out_dims(n_item)[::-1]
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+_FIELD_TYPES = {f.name: f for f in dataclasses.fields(Config)}
+
+
+def _coerce(name: str, value):
+    """Coerce a YAML/CLI value to the dataclass field's type."""
+    f = _FIELD_TYPES[name]
+    if value is None:
+        return None
+    if f.type in ("int", int):
+        return int(value)
+    if f.type in ("float", float):
+        return float(value)
+    if f.type in ("bool", bool):
+        if isinstance(value, str):
+            return value.lower() in ("1", "true", "yes", "y")
+        return bool(value)
+    if f.type in ("str", str):
+        return str(value)
+    return value
+
+
+def load_config(yaml_path: Optional[str] = None, overrides: Optional[dict] = None) -> Config:
+    """Build a Config from an optional YAML preset plus explicit overrides."""
+    values: dict = {}
+    if yaml_path:
+        with open(yaml_path) as fh:
+            loaded = yaml.safe_load(fh) or {}
+        for k, v in loaded.items():
+            if k not in _FIELD_TYPES:
+                raise KeyError(f"Unknown config key {k!r} in {yaml_path}")
+            values[k] = _coerce(k, v)
+    if overrides:
+        for k, v in overrides.items():
+            if k not in _FIELD_TYPES:
+                raise KeyError(f"Unknown config override {k!r}")
+            values[k] = _coerce(k, v)
+    return Config(**values)
+
+
+def parse_args(argv: Optional[List[str]] = None) -> Config:
+    """CLI entry mirroring reference parse_args_util.py:3-49.
+
+    Every reference flag is accepted under the same name. Flags given on the
+    command line override the YAML preset (configargparse semantics).
+    """
+    parser = argparse.ArgumentParser(description="gdmcf_tpu trainer")
+    parser.add_argument("-c", "--config", default=None, help="YAML config preset")
+    for f in dataclasses.fields(Config):
+        flag = f"--{f.name}"
+        if f.type in ("bool", bool):
+            # reference uses type=bool / store_true; accept explicit values
+            parser.add_argument(flag, nargs="?", const=True, default=None,
+                                type=lambda s: s if isinstance(s, bool) else s)
+        elif f.name in ("dims", "topN"):
+            parser.add_argument(flag, default=None, type=str,
+                                help="YAML list, e.g. [1000]")
+        else:
+            parser.add_argument(flag, default=None, type=str)
+    ns = parser.parse_args(argv)
+    overrides = {k: v for k, v in vars(ns).items()
+                 if k != "config" and v is not None}
+    return load_config(ns.config, overrides)

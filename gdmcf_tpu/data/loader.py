@@ -1,0 +1,163 @@
+"""Data ingest and batching.
+
+Host-side: ``.npy`` edge lists -> scipy CSR user x item matrices, with
+n_user/n_item inferred from max train ids — semantics of the reference
+``data_load`` (``/root/reference/data_utils.py:164-213``). Device-side batches
+are dense float32 rows ``(x [B, n_item], index [B])``, mirroring
+``DataDiffusion.__getitem__`` (ref data_utils.py:222-224) which returns the
+interaction row plus its user index.
+
+The reference's shipped datasets are placeholder archives, so a synthetic
+generator with a power-law item popularity is provided for development and
+benchmarking (SURVEY.md §2 caveat 3).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def data_load(train_path: str, valid_path: str, test_path: str):
+    """Edge-list .npy triples -> (train_csr, valid_csr, test_csr, n_user, n_item).
+
+    n_user/n_item come from the max ids in the *train* list (ref
+    data_utils.py:169-183). Valid/test ids outside that range are rejected with
+    a clear error instead of the reference's silent scipy failure.
+    """
+    train_list = np.load(train_path, allow_pickle=True)
+    valid_list = np.load(valid_path, allow_pickle=True)
+    test_list = np.load(test_path, allow_pickle=True)
+
+    train_list = np.asarray(train_list, dtype=np.int64)
+    valid_list = np.asarray(valid_list, dtype=np.int64)
+    test_list = np.asarray(test_list, dtype=np.int64)
+
+    n_user = int(train_list[:, 0].max()) + 1
+    n_item = int(train_list[:, 1].max()) + 1
+
+    for name, arr in (("valid", valid_list), ("test", test_list)):
+        if len(arr) and (arr[:, 0].max() >= n_user or arr[:, 1].max() >= n_item):
+            raise ValueError(
+                f"{name} list contains ids outside the train-inferred "
+                f"({n_user}, {n_item}) grid")
+
+    def to_csr(lst):
+        return sp.csr_matrix(
+            (np.ones(len(lst), dtype=np.float64), (lst[:, 0], lst[:, 1])),
+            shape=(n_user, n_item))
+
+    return to_csr(train_list), to_csr(valid_list), to_csr(test_list), n_user, n_item
+
+
+class DiffusionDataset:
+    """Dense-row view over a CSR interaction matrix with user indices."""
+
+    def __init__(self, csr: sp.spmatrix, n_rows: Optional[int] = None):
+        mat = csr.toarray().astype(np.float32)
+        if n_rows is not None:
+            mat = mat[:n_rows]
+        self.rows = np.ascontiguousarray(mat)
+
+    def __len__(self) -> int:
+        return self.rows.shape[0]
+
+    @property
+    def n_item(self) -> int:
+        return self.rows.shape[1]
+
+
+def epoch_batches(
+    dataset: DiffusionDataset,
+    batch_size: int,
+    rng: Optional[np.random.Generator] = None,
+    shuffle: bool = True,
+    drop_last: bool = True,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yield (x [B, n_item] float32, index [B] int32) batches.
+
+    shuffle/drop_last mirror the reference DataLoader settings
+    (ref main.py:155-156). Indices are the dataset row positions — the user
+    ids the embedding table is keyed by.
+    """
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        if rng is None:
+            rng = np.random.default_rng()
+        rng.shuffle(order)
+    stop = (n // batch_size) * batch_size if drop_last else n
+    for start in range(0, stop, batch_size):
+        idx = order[start:start + batch_size]
+        yield dataset.rows[idx], idx.astype(np.int32)
+
+
+def generate_synthetic_dataset(
+    out_dir: str,
+    n_user: int = 6000,
+    n_item: int = 2800,
+    avg_degree: int = 12,
+    valid_frac: float = 0.1,
+    test_frac: float = 0.2,
+    seed: int = 0,
+    alpha: float = 1.2,
+) -> Tuple[str, str, str]:
+    """Write train/valid/test_list.npy edge lists with power-law popularity.
+
+    Every user receives >= 3 interactions so each split is non-degenerate.
+    Returns the three file paths.
+    """
+    rng = np.random.default_rng(seed)
+    pop = 1.0 / np.arange(1, n_item + 1) ** alpha
+    pop /= pop.sum()
+
+    edges = []
+    for u in range(n_user):
+        deg = max(3, rng.poisson(avg_degree))
+        items = rng.choice(n_item, size=min(deg, n_item), replace=False, p=pop)
+        for i in items:
+            edges.append((u, int(i)))
+    edges = np.array(edges, dtype=np.int64)
+    rng.shuffle(edges)
+
+    # per-user split so valid/test ground truth is non-empty for most users
+    train, valid, test = [], [], []
+    by_user: dict = {}
+    for u, i in edges:
+        by_user.setdefault(u, []).append(i)
+    for u, items in by_user.items():
+        items = np.array(items)
+        n = len(items)
+        n_test = max(1, int(n * test_frac))
+        n_valid = max(1, int(n * valid_frac))
+        test.extend((u, i) for i in items[:n_test])
+        valid.extend((u, i) for i in items[n_test:n_test + n_valid])
+        train.extend((u, i) for i in items[n_test + n_valid:])
+
+    # n_user/n_item are inferred from the TRAIN max ids at load time
+    # (data_load above, mirroring the reference). Move one edge of every
+    # item/user that only occurs in valid/test into train so the inferred
+    # grid covers all ids.
+    train_items = {i for _, i in train}
+    train_users = {u for u, _ in train}
+    for split in (valid, test):
+        kept = []
+        for u, i in split:
+            if i not in train_items or u not in train_users:
+                train.append((u, i))
+                train_items.add(i)
+                train_users.add(u)
+            else:
+                kept.append((u, i))
+        split[:] = kept
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for name, lst in (("train", train), ("valid", valid), ("test", test)):
+        path = os.path.join(out_dir, f"{name}_list.npy")
+        np.save(path, np.array(lst, dtype=np.int64))
+        paths.append(path)
+    return tuple(paths)

@@ -1,0 +1,72 @@
+"""Backbone registry — the reference's 8-way construction switch
+(``/root/reference/main.py:212-256``) as a config-driven factory."""
+
+from __future__ import annotations
+
+from gdmcf_tpu.models.backbones import (
+    ModelDef,
+    dnn,
+    dnn_cat,
+    dnn_cat2,
+    dnn_lightgcn,
+    dnn_one_hot,
+    dnn_one_hot_embedding,
+    dnn_one_hot_embedding_gcn,
+    dnn_transformer,
+)
+
+BACKBONES = (
+    "DNN",
+    "DNNCat",
+    "DNNCat2",
+    "DNNOneHot",
+    "DNNOneHotTransformer",
+    "DNNOneHotEmbedding",
+    "DNNOneHotEmbedding_conti",
+    "DNNOneHotEmbeddingGCN",
+    "DNNOneHotEmbeddingGCN_conti",
+    "lightGCN",
+)
+
+
+def build_model(cfg, n_user: int, n_item: int) -> ModelDef:
+    in_dims = cfg.in_dims(n_item)
+    out_dims = cfg.out_dims(n_item)
+    common = dict(norm=cfg.norm, dropout_rate=cfg.dropout)
+    b = cfg.backbone
+    if b == "DNN":
+        return dnn(in_dims, out_dims, cfg.emb_size, **common)
+    if b == "DNNCat":
+        return dnn_cat(in_dims, out_dims, cfg.emb_size, **common)
+    if b == "DNNCat2":
+        return dnn_cat2(in_dims, out_dims, cfg.emb_size, **common)
+    if b == "DNNOneHot":
+        return dnn_one_hot(in_dims, out_dims, cfg.emb_size, **common)
+    if b == "DNNOneHotTransformer":
+        return dnn_transformer(in_dims, out_dims, cfg.emb_size, **common)
+    if b == "DNNOneHotEmbedding":
+        return dnn_one_hot_embedding(in_dims, out_dims, cfg.emb_size,
+                                     n_item, n_user, **common)
+    if b == "DNNOneHotEmbedding_conti":
+        return dnn_one_hot_embedding(in_dims, out_dims, cfg.emb_size,
+                                     n_item, n_user, conti=True, **common)
+    if b == "DNNOneHotEmbeddingGCN":
+        return dnn_one_hot_embedding_gcn(
+            in_dims, out_dims, cfg.emb_size, n_item, n_user,
+            gcn_layer_num=cfg.gcnLayerNum, noise_type=cfg.noise_type,
+            symmetric_gcn=cfg.symmetric_gcn, **common)
+    if b == "DNNOneHotEmbeddingGCN_conti":
+        return dnn_one_hot_embedding_gcn(
+            in_dims, out_dims, cfg.emb_size, n_item, n_user,
+            gcn_layer_num=cfg.gcnLayerNum, noise_type=cfg.noise_type,
+            symmetric_gcn=cfg.symmetric_gcn, conti=True, **common)
+    if b == "lightGCN":
+        return dnn_lightgcn(in_dims, out_dims, cfg.emb_size,
+                            n_user, n_item, **common)
+    raise ValueError(f"not implemented backbone: {b}")
+
+
+def needs_index(backbone: str) -> bool:
+    """Reference ``diffusion.indexIn = True`` branches (main.py:241,244,251)."""
+    return backbone in ("DNNOneHotEmbedding", "DNNOneHotEmbeddingGCN",
+                        "DNNOneHotEmbeddingGCN_conti", "lightGCN")

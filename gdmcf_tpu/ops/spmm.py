@@ -1,0 +1,166 @@
+"""Block-sparse SpMM — Pallas TPU kernel for large-graph propagation.
+
+Replaces the reference's ``torch.sparse.mm`` / torch_geometric scatter kernels
+(``/root/reference/lightGCN.py:185``, ``models/DNN.py:1047``) for the regime
+where the graph cannot be densified (e.g. the 10M-user / 1M-item synthetic
+scale, SURVEY.md §2.3). For moderate catalogs the dense-masked formulation in
+``models/gcn.py`` is already MXU-optimal; this kernel extends the same math to
+sparse adjacencies.
+
+Format: block-CSR. The [n_rows, n_cols] sparse matrix is tiled into
+(BR x BC) tiles; only tiles containing nonzeros are stored densely:
+
+    blocks     [n_blocks, BR, BC]  dense tile values
+    block_cols [n_blocks]          column-tile index of each stored tile
+    row_ptr    [n_row_tiles + 1]   CSR over tiles (tiles of a row-tile are
+                                   contiguous)
+
+The kernel runs one grid step per row-tile: scalar-prefetched row_ptr /
+block_cols drive async DMA of each stored tile and the matching X tile from
+HBM into VMEM double buffers, accumulating ``acc += tile @ x_tile`` on the
+MXU. This is the canonical TPU block-sparse matmul: all FLOPs land on the
+systolic array, all HBM traffic is tile-granular and overlapped with compute.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class BlockSparse(NamedTuple):
+    blocks: jnp.ndarray      # [n_blocks, BR, BC] float32
+    block_cols: jnp.ndarray  # [n_blocks] int32
+    row_ptr: jnp.ndarray     # [n_row_tiles + 1] int32
+    shape: Tuple[int, int]   # padded (n_rows, n_cols)
+    br: int
+    bc: int
+
+
+def to_block_sparse(mat: sp.spmatrix, br: int = 128, bc: int = 128) -> BlockSparse:
+    """Host-side: scipy sparse -> block-CSR with only nonzero tiles stored."""
+    mat = mat.tocoo()
+    n_rows = -(-mat.shape[0] // br) * br
+    n_cols = -(-mat.shape[1] // bc) * bc
+    rb = mat.row // br
+    cb = mat.col // bc
+    tile_ids = rb.astype(np.int64) * (n_cols // bc) + cb
+    uniq, inverse = np.unique(tile_ids, return_inverse=True)
+    n_blocks = len(uniq)
+    blocks = np.zeros((max(n_blocks, 1), br, bc), dtype=np.float32)
+    blocks[inverse, mat.row % br, mat.col % bc] = mat.data
+    u_rb = (uniq // (n_cols // bc)).astype(np.int32)
+    u_cb = (uniq % (n_cols // bc)).astype(np.int32)
+    n_row_tiles = n_rows // br
+    row_ptr = np.zeros(n_row_tiles + 1, dtype=np.int32)
+    np.add.at(row_ptr[1:], u_rb, 1)
+    row_ptr = np.cumsum(row_ptr).astype(np.int32)
+    # uniq is sorted by (rb, cb) already, so tiles of a row-tile are contiguous
+    return BlockSparse(
+        blocks=jnp.asarray(blocks),
+        block_cols=jnp.asarray(u_cb if n_blocks else np.zeros(1, np.int32)),
+        row_ptr=jnp.asarray(row_ptr),
+        shape=(n_rows, n_cols),
+        br=br, bc=bc,
+    )
+
+
+def spmm_reference(a: BlockSparse, x: jnp.ndarray) -> jnp.ndarray:
+    """Gather-based oracle: y = A @ x via jnp ops (works on any backend)."""
+    n_row_tiles = a.shape[0] // a.br
+    x_pad = jnp.zeros((a.shape[1], x.shape[1]), x.dtype).at[: x.shape[0]].set(x)
+    x_tiles = x_pad.reshape(-1, a.bc, x.shape[1])          # [n_col_tiles, BC, D]
+    gathered = x_tiles[a.block_cols]                       # [n_blocks, BC, D]
+    per_block = jnp.einsum("kij,kjd->kid", a.blocks, gathered)
+    # segment-sum per row tile
+    seg_ids = jnp.searchsorted(a.row_ptr[1:],
+                               jnp.arange(a.blocks.shape[0]), side="right")
+    y = jax.ops.segment_sum(per_block, seg_ids, num_segments=n_row_tiles)
+    return y.reshape(a.shape[0], x.shape[1])
+
+
+def _spmm_kernel(row_ptr_ref, block_cols_ref, blocks_hbm, x_hbm, y_ref,
+                 a_buf, x_buf, acc_ref, sems, *, bc: int):
+    i = pl.program_id(0)
+    start = row_ptr_ref[i]
+    stop = row_ptr_ref[i + 1]
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def get_dmas(k, slot):
+        a_dma = pltpu.make_async_copy(blocks_hbm.at[k], a_buf.at[slot],
+                                      sems.at[slot, 0])
+        cb = block_cols_ref[k]
+        x_dma = pltpu.make_async_copy(x_hbm.at[pl.ds(cb * bc, bc), :],
+                                      x_buf.at[slot], sems.at[slot, 1])
+        return a_dma, x_dma
+
+    def start_pair(k, slot):
+        a_dma, x_dma = get_dmas(k, slot)
+        a_dma.start()
+        x_dma.start()
+
+    @pl.when(start < stop)
+    def _():
+        start_pair(start, 0)
+
+        def body(k, _):
+            slot = (k - start) % 2
+            nxt = (k - start + 1) % 2
+
+            @pl.when(k + 1 < stop)
+            def _():
+                start_pair(k + 1, nxt)
+
+            a_dma, x_dma = get_dmas(k, slot)
+            a_dma.wait()
+            x_dma.wait()
+            acc_ref[:] += jnp.dot(a_buf[slot], x_buf[slot],
+                                  preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(start, stop, body, 0)
+
+    y_ref[:] = acc_ref[:]
+
+
+def spmm(a: BlockSparse, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """y = A @ x with the Pallas kernel. x: [n_cols(unpadded ok), D], D
+    should be a multiple of 128 for peak efficiency (any D works).
+
+    Not jitted here: BlockSparse.shape/br/bc are static metadata; wrap the
+    *call site* in jit (the BlockSparse arrays close over as constants).
+    """
+    br, bc = a.br, a.bc
+    n_row_tiles = a.shape[0] // br
+    d = x.shape[1]
+    x_pad = jnp.zeros((a.shape[1], d), x.dtype).at[: x.shape[0]].set(x)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_row_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # blocks stay in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+        ],
+        out_specs=pl.BlockSpec((br, d), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, br, bc), jnp.float32),
+            pltpu.VMEM((2, bc, d), jnp.float32),
+            pltpu.VMEM((br, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_spmm_kernel, bc=bc),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((a.shape[0], d), jnp.float32),
+        interpret=interpret,
+    )(a.row_ptr, a.block_cols, a.blocks, x_pad)

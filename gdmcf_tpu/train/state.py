@@ -1,0 +1,51 @@
+"""Train state: params + AdamW optimizer + importance-sampler state + RNG.
+
+The reference keeps the ring buffer and RNG implicit (module attributes /
+global torch RNG). Here everything that evolves across steps is one explicit
+pytree, which makes the step function pure, jittable, shardable, and the whole
+state checkpointable/resumable (which the reference cannot do — it pickles the
+module only, ref main.py:373-375, and has no loading code)."""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gdmcf_tpu.diffusion.engine import LtState
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray          # scalar int32
+    params: Any
+    opt_state: Any
+    lt: LtState
+    key: jax.Array
+
+
+def make_optimizer(lr: float, weight_decay: float) -> optax.GradientTransformation:
+    """AdamW with torch defaults (ref main.py:258 uses optim.AdamW defaults:
+    betas=(0.9, 0.999), eps=1e-8)."""
+    return optax.adamw(learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8,
+                       weight_decay=weight_decay)
+
+
+def create_train_state(cfg, model_init, seed: int = None) -> TrainState:
+    seed = cfg.random_seed if seed is None else seed
+    key = jax.random.PRNGKey(seed)
+    k_init, k_run = jax.random.split(key)
+    params = model_init(k_init)
+    tx = make_optimizer(cfg.lr, cfg.weight_decay)
+    return TrainState(
+        step=jnp.zeros((), dtype=jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        lt=LtState.create(cfg.steps, cfg.history_num_per_term),
+        key=k_run,
+    )
+
+
+def param_count(params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

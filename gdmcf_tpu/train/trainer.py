@@ -1,0 +1,192 @@
+"""Training/eval orchestration — the reference ``main()`` loop, jitted.
+
+Reference parity (``/root/reference/main.py:108-385``):
+  * AdamW over all model params (ref :258)
+  * per-epoch batch loop; loss = diffusion.training_losses(...).mean() (ref :346-351)
+  * eval every ``eval_every`` epochs (ref :353), early stop after
+    ``early_stop_patience`` epochs without a new best (ref :316-319)
+  * eval iterates the TRAIN rows, masks interaction history, ranks the full
+    catalog, compares against valid/test ground truth (ref :267-310)
+  * model selection: valid NDCG@topN[1] compared against the running best,
+    which the reference stores from the TEST result (ref :362-363) — the
+    ``fidelity`` flag reproduces that quirk; otherwise valid is stored.
+
+TPU design: one jitted train step (grads + AdamW + Lt update fused into a
+single XLA program), one jitted eval step (the entire reverse-diffusion scan,
+history masking, and top-k on device); the host loop only moves batches.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gdmcf_tpu.config import Config
+from gdmcf_tpu.data.loader import DiffusionDataset, epoch_batches
+from gdmcf_tpu.diffusion.engine import Diffusion, LtState
+from gdmcf_tpu.models.registry import build_model, needs_index
+from gdmcf_tpu.ops.metrics import compute_topn_accuracy, print_results
+from gdmcf_tpu.train.state import TrainState, create_train_state, make_optimizer, param_count
+
+
+class Trainer:
+    def __init__(self, cfg: Config, n_user: int, n_item: int):
+        self.cfg = cfg
+        self.n_user = n_user
+        self.n_item = n_item
+        self.model = build_model(cfg, n_user, n_item)
+        self.diffusion = Diffusion.create(cfg, index_in=self.model.needs_index)
+        self.tx = make_optimizer(cfg.lr, cfg.weight_decay)
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl,
+                                  static_argnames=("sampling_steps", "top_k"))
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> TrainState:
+        return create_train_state(self.cfg, self.model.init)
+
+    def num_params(self, state: TrainState) -> int:
+        return param_count(state.params)
+
+    # ------------------------------------------------------------------
+    def _train_step_impl(self, state: TrainState, x: jnp.ndarray,
+                         index: jnp.ndarray):
+        key, step_key = jax.random.split(state.key)
+
+        def loss_fn(params):
+            loss_vec, new_lt, aux = self.diffusion.training_losses(
+                self.model.apply, params, x, index, step_key, state.lt,
+                reweight=self.cfg.reweight, train=True)
+            return loss_vec.mean(), (new_lt, aux)
+
+        (loss, (new_lt, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               opt_state=new_opt, lt=new_lt, key=key)
+        return new_state, loss
+
+    def train_epoch(self, state: TrainState, dataset: DiffusionDataset,
+                    rng: np.random.Generator):
+        total_loss = 0.0
+        count = 0
+        for x, idx in epoch_batches(dataset, self.cfg.batch_size, rng,
+                                    shuffle=self.cfg.shuffle,
+                                    drop_last=self.cfg.drop_last):
+            state, loss = self._train_step(state, jnp.asarray(x),
+                                           jnp.asarray(idx))
+            total_loss += float(loss)
+            count += 1
+        return state, total_loss
+
+    # ------------------------------------------------------------------
+    def _eval_step_impl(self, params, x, index, mask, key,
+                        sampling_steps: int, top_k: int):
+        """p_sample -> mask seen items -> device top-k (ref main.py:288-305)."""
+        scores = self.diffusion.p_sample(
+            self.model.apply, params, x, index, key,
+            sampling_steps=sampling_steps,
+            sampling_noise=self.cfg.sampling_noise)
+        scores = jnp.where(mask > 0, -jnp.inf, scores)
+        _, idx = jax.lax.top_k(scores, top_k)
+        return idx
+
+    def evaluate(self, state: TrainState, eval_rows: np.ndarray,
+                 gt_matrix: np.ndarray, mask_matrix: np.ndarray,
+                 topn, key: Optional[jax.Array] = None):
+        """Rank the catalog for each eval row and compute Precision/Recall/NDCG/MRR.
+
+        eval_rows: the model inputs (train interaction rows, ref main.py:156)
+        gt_matrix: ground-truth split (valid or test)
+        mask_matrix: history to exclude (train, or train+valid for test)
+        """
+        cfg = self.cfg
+        if key is None:
+            key = jax.random.PRNGKey(cfg.random_seed + 12345)
+        n = eval_rows.shape[0]
+        bs = cfg.batch_size
+        stop = (n // bs) * bs if cfg.drop_last else n
+        all_idx = []
+        kept_users = []
+        top_k = int(topn[-1])
+        for start in range(0, stop, bs):
+            rows = jnp.asarray(eval_rows[start:start + bs])
+            uids = jnp.arange(start, start + rows.shape[0], dtype=jnp.int32)
+            mask = jnp.asarray(mask_matrix[start:start + rows.shape[0]])
+            key, sub = jax.random.split(key)
+            idx = self._eval_step(state.params, rows, uids, mask, sub,
+                                  sampling_steps=cfg.sampling_steps,
+                                  top_k=top_k)
+            all_idx.append(np.asarray(idx))
+            kept_users.append(np.arange(start, start + rows.shape[0]))
+        pred = np.concatenate(all_idx, axis=0)
+        users = np.concatenate(kept_users)
+        return compute_topn_accuracy(gt_matrix[users], pred, topn)
+
+    # ------------------------------------------------------------------
+    def fit(self, train_csr, valid_csr, test_csr, log=print,
+            checkpointer=None):
+        cfg = self.cfg
+        n_rows = cfg.n_user_cap or train_csr.shape[0]
+        train_rows = np.asarray(train_csr.todense(), dtype=np.float32)[:n_rows]
+        valid_gt = np.asarray(valid_csr.todense(), dtype=np.float32)[:n_rows]
+        test_gt = np.asarray(test_csr.todense(), dtype=np.float32)[:n_rows]
+        mask_tv = np.clip(train_rows + valid_gt, 0, 1)
+
+        dataset = DiffusionDataset.__new__(DiffusionDataset)
+        dataset.rows = train_rows
+
+        state = self.init_state()
+        log(f"Number of all parameters: {self.num_params(state)}")
+        rng = np.random.default_rng(cfg.random_seed)
+
+        best_metric, best_epoch = -100.0, 0
+        best_results = None
+        topn = cfg.topN
+        for epoch in range(1, cfg.epochs + 1):
+            if epoch - best_epoch >= cfg.early_stop_patience:
+                log("-" * 18)
+                log("Exiting from training early")
+                break
+            start_time = time.time()
+            state, total_loss = self.train_epoch(state, dataset, rng)
+
+            if epoch % cfg.eval_every == 0:
+                valid_results = self.evaluate(
+                    state, train_rows, valid_gt, train_rows, topn)
+                if cfg.tst_w_val:
+                    test_results = self.evaluate(
+                        state, np.clip(train_rows + valid_gt, 0, 1),
+                        test_gt, mask_tv, topn)
+                else:
+                    test_results = self.evaluate(
+                        state, train_rows, test_gt, mask_tv, topn)
+                print_results(None, valid_results, test_results)
+
+                # selection metric: index [2] is NDCG (despite the reference's
+                # "recall" comment), cutoff topN[1] (ref main.py:362-363)
+                if valid_results[2][1] > best_metric:
+                    if cfg.fidelity:
+                        best_metric = test_results[2][1]  # reference quirk
+                    else:
+                        best_metric = valid_results[2][1]
+                    best_epoch = epoch
+                    best_results = test_results
+                    if checkpointer is not None:
+                        checkpointer.save(state, epoch)
+
+            log("Runing Epoch {:03d} train loss {:.4f} costs {}".format(
+                epoch, total_loss,
+                time.strftime("%H: %M: %S", time.gmtime(time.time() - start_time))))
+        log("=" * 54)
+        log(f"End. Best Epoch {best_epoch:03d}")
+        if best_results is not None:
+            print_results(None, None, best_results)
+        return state, best_results

@@ -1,0 +1,72 @@
+"""Vectorized metrics vs an independent per-user Python oracle.
+
+The oracle below is a clean-room implementation of Precision/Recall/NDCG/MRR
+with the reference's exact conventions (empty-GT users counted in the
+denominator, IDCG truncated at |GT|, 4-decimal rounding) so the fused XLA
+version can be proven equivalent (SURVEY.md §4 item 1)."""
+
+import math
+
+import numpy as np
+
+from gdmcf_tpu.ops.metrics import compute_topn_accuracy
+
+
+def oracle(gt_sets, pred, topn):
+    precision, recall, ndcg_l, mrr_l = [], [], [], []
+    for k in topn:
+        p = r = nd = mr = 0.0
+        for i, gts in enumerate(gt_sets):
+            if not gts:
+                continue
+            hits = 0
+            dcg = idcg = 0.0
+            idcg_count = len(gts)
+            first = None
+            for j in range(k):
+                if pred[i][j] in gts:
+                    dcg += 1.0 / math.log2(j + 2)
+                    if first is None:
+                        first = j
+                    hits += 1
+                if idcg_count > 0:
+                    idcg += 1.0 / math.log2(j + 2)
+                    idcg_count -= 1
+            p += hits / k
+            r += hits / len(gts)
+            if idcg != 0:
+                nd += dcg / idcg
+            if first is not None:
+                mr += 1.0 / (first + 1)
+        n = len(pred)
+        precision.append(round(p / n, 4))
+        recall.append(round(r / n, 4))
+        ndcg_l.append(round(nd / n, 4))
+        mrr_l.append(round(mr / n, 4))
+    return precision, recall, ndcg_l, mrr_l
+
+
+def test_metrics_match_oracle(rng):
+    n_users, n_item, k_max = 64, 200, 100
+    topn = [10, 20, 50, 100]
+    gt = (rng.random((n_users, n_item)) < 0.05).astype(np.float32)
+    gt[3] = 0.0  # an empty-GT user: excluded from sums, counted in denominator
+    scores = rng.random((n_users, n_item))
+    pred = np.argsort(-scores, axis=1)[:, :k_max]
+
+    gt_sets = [set(np.nonzero(gt[i])[0].tolist()) for i in range(n_users)]
+    expected = oracle(gt_sets, pred, topn)
+    got = compute_topn_accuracy(gt, pred, topn)
+    for e_row, g_row in zip(expected, got):
+        np.testing.assert_allclose(g_row, e_row, atol=1e-4)
+
+
+def test_perfect_ranking():
+    gt = np.zeros((4, 50), dtype=np.float32)
+    for i in range(4):
+        gt[i, i * 5:(i + 1) * 5] = 1.0
+    pred = np.array([np.concatenate([np.arange(i * 5, (i + 1) * 5),
+                                     np.arange(40, 45)]) for i in range(4)])
+    p, r, nd, mrr = compute_topn_accuracy(gt, pred, [5, 10])
+    assert r[0] == 1.0 and nd[0] == 1.0 and mrr[0] == 1.0
+    assert p[0] == 1.0 and p[1] == 0.5

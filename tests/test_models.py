@@ -1,0 +1,116 @@
+"""Backbone init/apply shape and behavior checks for every model family."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gdmcf_tpu.config import Config
+from gdmcf_tpu.models.registry import BACKBONES, build_model
+from gdmcf_tpu.models.layers import nt_xent_loss
+
+N_USER, N_ITEM, B = 40, 30, 8
+
+
+def make_batch(key, backbone):
+    kx, ku, kg = jax.random.split(key, 3)
+    x = jax.random.normal(kx, (B, N_ITEM))
+    x_bin = (jax.random.uniform(ku, (B, N_ITEM)) < 0.3).astype(jnp.float32)
+    x_U = jnp.stack([1.0 - x_bin, x_bin], axis=-1)
+    index = jnp.arange(B, dtype=jnp.int32)
+    t = jnp.zeros((B,), dtype=jnp.int32)
+    return x, t, x_U, index, x_U
+
+
+@pytest.mark.parametrize("backbone", BACKBONES)
+def test_backbone_forward_shapes(backbone):
+    cfg = Config(backbone=backbone, dims=[16], emb_size=10, steps=5)
+    model = build_model(cfg, N_USER, N_ITEM)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key)
+    x, t, x_U, index, graph = make_batch(jax.random.PRNGKey(1), backbone)
+    out, closs = model.apply(params, x, t, x_U, index=index, graph=graph,
+                             rcloss=model.needs_index and model.needs_onehot,
+                             train=True, rng=jax.random.PRNGKey(2))
+    assert out.shape == (B, N_ITEM)
+    assert jnp.all(jnp.isfinite(out))
+    if model.needs_index and model.needs_onehot:
+        assert closs is not None and jnp.isfinite(closs)
+
+
+@pytest.mark.parametrize("backbone", BACKBONES)
+def test_backbone_eval_deterministic(backbone):
+    cfg = Config(backbone=backbone, dims=[16], emb_size=10, steps=5)
+    model = build_model(cfg, N_USER, N_ITEM)
+    params = model.init(jax.random.PRNGKey(0))
+    x, t, x_U, index, graph = make_batch(jax.random.PRNGKey(1), backbone)
+    out1, _ = model.apply(params, x, t, x_U, index=index, graph=graph,
+                          train=False, rng=None)
+    out2, _ = model.apply(params, x, t, x_U, index=index, graph=graph,
+                          train=False, rng=None)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_gcn_backbone_jittable():
+    cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[16], emb_size=10)
+    model = build_model(cfg, N_USER, N_ITEM)
+    params = model.init(jax.random.PRNGKey(0))
+    x, t, x_U, index, graph = make_batch(jax.random.PRNGKey(1), "gcn")
+
+    @jax.jit
+    def fwd(p, x, t, x_U, index, graph):
+        return model.apply(p, x, t, x_U, index=index, graph=graph,
+                           rcloss=True, train=False, rng=None)
+
+    out, closs = fwd(params, x, t, x_U, index, graph)
+    assert out.shape == (B, N_ITEM)
+
+
+def test_gcn_backbone_grads_flow():
+    cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[16], emb_size=10)
+    model = build_model(cfg, N_USER, N_ITEM)
+    params = model.init(jax.random.PRNGKey(0))
+    x, t, x_U, index, graph = make_batch(jax.random.PRNGKey(1), "gcn")
+
+    def loss_fn(p):
+        out, closs = model.apply(p, x, t, x_U, index=index, graph=graph,
+                                 rcloss=True, train=False, rng=None)
+        return (out ** 2).mean() + closs
+
+    grads = jax.grad(loss_fn)(params)
+    flat, _ = jax.tree_util.tree_flatten(grads)
+    assert all(np.isfinite(float(jnp.abs(g).sum())) for g in flat)
+    # Reference property: sumW inits to 1.0 (ref DNN.py:1162) so the GCN blend
+    # hc*sumW + gcn*(1-sumW) passes zero gradient to the conv weights at init;
+    # sumW itself trains first. With sumW=0.5 every live param gets gradient.
+    assert float(jnp.abs(grads["sumW"])) > 0
+    assert float(jnp.abs(grads["gcn"]["conv1"]["w"]).sum()) == 0
+    params2 = dict(params, sumW=jnp.asarray(0.5))
+    grads2 = jax.grad(loss_fn)(params2)
+    flat2, _ = jax.tree_util.tree_flatten(grads2)
+    nonzero = [float(jnp.abs(g).sum()) > 0 for g in flat2]
+    assert sum(nonzero) == len(flat2)
+
+
+def test_nt_xent_matches_definition(rng):
+    n, d = 6, 4
+    z1 = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
+    z2 = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
+    sim = np.asarray(z1 @ z2.T) / 0.1
+    p = np.exp(sim) / np.exp(sim).sum(axis=1, keepdims=True)
+    diag = np.diag(p)
+    neg = p.sum(axis=1) - diag
+    expected = (-np.log((diag + 1e-5) / neg)).mean()
+    got = float(nt_xent_loss(z1, z2))
+    assert abs(got - expected) < 1e-5
+
+
+def test_noise_type_ablation_zeroes_closs():
+    cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[16], emb_size=10,
+                 noise_type=1)
+    model = build_model(cfg, N_USER, N_ITEM)
+    params = model.init(jax.random.PRNGKey(0))
+    x, t, x_U, index, graph = make_batch(jax.random.PRNGKey(1), "gcn")
+    _, closs = model.apply(params, x, t, x_U, index=index, graph=graph,
+                           rcloss=True, train=False, rng=None)
+    assert float(closs) == 0.0

@@ -1,0 +1,73 @@
+"""Distributed-sim tests on the 8-device virtual CPU mesh (SURVEY.md §4 #4).
+
+Verifies: sharded params placement, dp+mp train step numerical equivalence
+with the single-device step, and the full multichip dry run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gdmcf_tpu.config import Config
+from gdmcf_tpu.diffusion.engine import Diffusion, LtState
+from gdmcf_tpu.models.registry import build_model
+from gdmcf_tpu.parallel.mesh import make_mesh
+from gdmcf_tpu.parallel.sharding import param_specs, shard_params
+
+cpu_devices = jax.devices("cpu")
+pytestmark = pytest.mark.skipif(len(cpu_devices) < 8,
+                                reason="needs 8 virtual cpu devices")
+
+N_USER, N_ITEM, B = 32, 32, 16
+
+
+def setup():
+    cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[16], emb_size=10,
+                 steps=5, noise_scale=0.01, batch_size=B)
+    model = build_model(cfg, N_USER, N_ITEM)
+    diff = Diffusion.create(cfg, index_in=True)
+    params = model.init(jax.random.PRNGKey(0))
+    return cfg, model, diff, params
+
+
+def test_param_specs_target_item_axis():
+    cfg, model, diff, params = setup()
+    specs = param_specs(params)
+    assert specs["embedding_item"] == P("mp", None)
+    assert specs["in_layers"][0]["w"] == P("mp", None)
+    assert specs["in_layers2"][0]["w"] == P("mp", None)
+    assert specs["embedding_user"] == P()
+    assert specs["sumW"] == P()
+
+
+def test_sharded_forward_matches_single_device():
+    cfg, model, diff, params = setup()
+    mesh = make_mesh(dp=4, mp=2, devices=cpu_devices)
+    x = (jax.random.uniform(jax.random.PRNGKey(1), (B, N_ITEM)) < 0.3
+         ).astype(jnp.float32)
+    x_U = jnp.stack([1.0 - x, x], axis=-1)
+    t = jnp.zeros((B,), jnp.int32)
+    idx = jnp.arange(B, dtype=jnp.int32)
+
+    ref_out, _ = model.apply(params, x, t, x_U, index=idx, graph=x_U,
+                             train=False, rng=None)
+
+    sp = shard_params(params, mesh)
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp", "mp")))
+    out, _ = jax.jit(
+        lambda p, x, t, xu, i: model.apply(p, x, t, xu, index=i, graph=xu,
+                                           train=False, rng=None)
+    )(sp, xs, t, jnp.stack([1.0 - xs, xs], axis=-1), idx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_dryrun_multichip():
+    import importlib.util, os
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(__file__), "..",
+                                    "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

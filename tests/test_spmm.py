@@ -1,0 +1,66 @@
+"""Block-sparse SpMM: format converter, reference oracle, Pallas kernel
+(interpret mode on CPU; compiled on TPU) vs dense matmul (SURVEY.md §4 #3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from gdmcf_tpu.ops.spmm import BlockSparse, spmm, spmm_reference, to_block_sparse
+
+
+def random_sparse(rng, n_rows, n_cols, density=0.02):
+    m = sp.random(n_rows, n_cols, density=density, random_state=np.random.RandomState(0),
+                  dtype=np.float32, format="csr")
+    return m
+
+
+def test_block_format_roundtrip(rng):
+    m = random_sparse(rng, 300, 260, 0.03)
+    a = to_block_sparse(m, br=128, bc=128)
+    # densify the block format and compare with the padded original
+    dense = np.zeros(a.shape, np.float32)
+    rp = np.asarray(a.row_ptr)
+    cols = np.asarray(a.block_cols)
+    blocks = np.asarray(a.blocks)
+    for rt in range(len(rp) - 1):
+        for k in range(rp[rt], rp[rt + 1]):
+            dense[rt * a.br:(rt + 1) * a.br,
+                  cols[k] * a.bc:(cols[k] + 1) * a.bc] = blocks[k]
+    expect = np.zeros(a.shape, np.float32)
+    expect[:300, :260] = m.toarray()
+    np.testing.assert_array_equal(dense, expect)
+
+
+def test_spmm_reference_matches_dense(rng):
+    m = random_sparse(rng, 270, 250, 0.05)
+    a = to_block_sparse(m, br=128, bc=128)
+    x = rng.standard_normal((250, 64)).astype(np.float32)
+    y = spmm_reference(a, jnp.asarray(x))
+    expect = m.toarray() @ x
+    np.testing.assert_allclose(np.asarray(y)[:270], expect, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape,density", [((256, 256), 0.05),
+                                           ((384, 640), 0.01),
+                                           ((128, 128), 0.3)])
+def test_spmm_pallas_interpret(rng, shape, density):
+    m = random_sparse(rng, *shape, density)
+    a = to_block_sparse(m, br=128, bc=128)
+    x = rng.standard_normal((shape[1], 128)).astype(np.float32)
+    y = spmm(a, jnp.asarray(x), interpret=True)
+    expect = m.toarray() @ x
+    np.testing.assert_allclose(np.asarray(y)[:shape[0]], expect,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_empty_row_tile(rng):
+    """A row tile with no stored blocks must produce zeros."""
+    m = sp.csr_matrix((np.ones(3, np.float32), ([0, 1, 2], [0, 5, 9])),
+                      shape=(300, 200))  # rows 128..255 empty -> tile 1 empty
+    a = to_block_sparse(m, br=128, bc=128)
+    x = rng.standard_normal((200, 128)).astype(np.float32)
+    y = np.asarray(spmm(a, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(y[128:256], 0.0)
+    np.testing.assert_allclose(y[:300], m.toarray() @ x, rtol=1e-4, atol=1e-4)

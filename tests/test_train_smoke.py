@@ -1,0 +1,46 @@
+"""End-to-end smoke: synthetic dataset -> fit a few epochs -> sane metrics."""
+
+import numpy as np
+
+from gdmcf_tpu.config import Config
+from gdmcf_tpu.data.loader import data_load, generate_synthetic_dataset
+from gdmcf_tpu.train.trainer import Trainer
+
+
+def test_fit_smoke(tmp_path):
+    paths = generate_synthetic_dataset(str(tmp_path), n_user=60, n_item=48,
+                                       avg_degree=10, seed=3)
+    train, valid, test, n_user, n_item = data_load(*paths)
+    cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[16], emb_size=10,
+                 steps=5, noise_scale=0.01, batch_size=16, epochs=4,
+                 eval_every=2, topN=[5, 10], lr=1e-3, debug=True,
+                 sampling_steps=0)
+    trainer = Trainer(cfg, n_user, n_item)
+    logs = []
+    state, best = trainer.fit(train, valid, test, log=logs.append)
+    assert best is not None
+    precision, recall, ndcg, mrr = best
+    assert len(recall) == 2
+    assert all(0.0 <= v <= 1.0 for v in recall + ndcg + mrr)
+    assert int(state.step) == 4 * (60 // 16)
+
+
+def test_loss_decreases(tmp_path):
+    """Training on a strong signal should reduce the loss."""
+    import jax
+    import jax.numpy as jnp
+
+    paths = generate_synthetic_dataset(str(tmp_path / "d2"), n_user=64,
+                                       n_item=40, avg_degree=12, seed=4)
+    train, valid, test, n_user, n_item = data_load(*paths)
+    cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[16], emb_size=10,
+                 steps=5, noise_scale=0.01, batch_size=32, lr=1e-2)
+    trainer = Trainer(cfg, n_user, n_item)
+    state = trainer.init_state()
+    rows = jnp.asarray(np.asarray(train.todense(), dtype=np.float32)[:32])
+    idx = jnp.arange(32, dtype=jnp.int32)
+    losses = []
+    for _ in range(30):
+        state, loss = trainer._train_step(state, rows, idx)
+        losses.append(float(loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
