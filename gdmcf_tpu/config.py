@@ -70,6 +70,10 @@ class Config:
     discrete: float = 0.9995   # epsilon of the 2-state transition matrix
 
     # ---- TPU-framework extras (no reference equivalent) ----
+    # diffusion engine variant: "discrete" (GaussianDiffusionDiscrete, the
+    # live class), "legacy" (GaussianDiffusion), "ablation"
+    # (GaussianDiffusionAblation, commented-in at reference main.py:194-195)
+    diffusion_variant: str = "discrete"
     # Reference main.py:147 hard-truncates to 3000 users ("sample less data").
     # None = use the full dataset; set 3000 to reproduce the snapshot exactly.
     n_user_cap: Optional[int] = None

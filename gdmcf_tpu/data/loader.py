@@ -69,6 +69,9 @@ class DiffusionDataset:
     def n_item(self) -> int:
         return self.rows.shape[1]
 
+    def gather(self, idx: np.ndarray) -> np.ndarray:
+        return self.rows[idx]
+
 
 def epoch_batches(
     dataset: DiffusionDataset,
@@ -92,7 +95,7 @@ def epoch_batches(
     stop = (n // batch_size) * batch_size if drop_last else n
     for start in range(0, stop, batch_size):
         idx = order[start:start + batch_size]
-        yield dataset.rows[idx], idx.astype(np.int32)
+        yield dataset.gather(idx), idx.astype(np.int32)
 
 
 def generate_synthetic_dataset(

@@ -1,0 +1,141 @@
+"""ctypes bindings for the native data engine (data/_native/loader.cpp).
+
+The shared library is compiled on first use with g++ (-O3 -fopenmp) and
+cached next to the source; every entry point has a numpy fallback so the
+framework works even without a toolchain (``HAVE_NATIVE`` reports which path
+is active). pybind11 is not available in this image, hence ctypes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_SRC = Path(__file__).parent / "_native" / "loader.cpp"
+_LIB = Path(__file__).parent / "_native" / "libgdmcf_loader.so"
+
+_lib: Optional[ctypes.CDLL] = None
+HAVE_NATIVE = False
+
+
+def _ensure_lib() -> Optional[ctypes.CDLL]:
+    global _lib, HAVE_NATIVE
+    if _lib is not None:
+        return _lib
+    try:
+        if (not _LIB.exists()
+                or _LIB.stat().st_mtime < _SRC.stat().st_mtime):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-fopenmp", "-o", str(_LIB), str(_SRC)],
+                check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(str(_LIB))
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.build_csr.argtypes = [i64p, i64p, ctypes.c_int64,
+                                  ctypes.c_int64, i64p, i32p]
+        lib.assemble_batch.argtypes = [i64p, i32p, i32p, ctypes.c_int64,
+                                       ctypes.c_int64, f32p]
+        lib.sample_bpr.argtypes = [i64p, i32p, ctypes.c_int64, i32p,
+                                   ctypes.c_int64, ctypes.c_uint64,
+                                   i32p, i32p]
+        _lib = lib
+        HAVE_NATIVE = True
+    except Exception:
+        _lib = None
+        HAVE_NATIVE = False
+    return _lib
+
+
+class NativeCSR:
+    """CSR interaction matrix with native batch assembly.
+
+    Holds only indptr/indices (O(nnz)) — never the dense matrix — so it
+    scales to catalogs where ``DiffusionDataset``'s dense rows cannot.
+    """
+
+    def __init__(self, indptr: np.ndarray, indices: np.ndarray,
+                 n_user: int, n_item: int):
+        self.indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+        self.indices = np.ascontiguousarray(indices, dtype=np.int32)
+        self.n_user = n_user
+        self.n_item = n_item
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def from_edge_list(cls, edges: np.ndarray, n_user: int,
+                       n_item: int) -> "NativeCSR":
+        edges = np.ascontiguousarray(edges, dtype=np.int64)
+        nnz = len(edges)
+        indptr = np.zeros(n_user + 1, dtype=np.int64)
+        indices = np.zeros(max(nnz, 1), dtype=np.int32)
+        lib = _ensure_lib()
+        if lib is not None and nnz:
+            lib.build_csr(np.ascontiguousarray(edges[:, 0]),
+                          np.ascontiguousarray(edges[:, 1]),
+                          nnz, n_user, indptr, indices)
+        elif nnz:
+            order = np.lexsort((edges[:, 1], edges[:, 0]))
+            srt = edges[order]
+            np.add.at(indptr[1:], srt[:, 0], 1)
+            indptr = np.cumsum(indptr)
+            indices = srt[:, 1].astype(np.int32)
+        return cls(indptr, indices[:nnz], n_user, n_item)
+
+    @classmethod
+    def from_scipy(cls, csr) -> "NativeCSR":
+        csr = csr.tocsr()
+        csr.sort_indices()
+        return cls(csr.indptr.astype(np.int64), csr.indices.astype(np.int32),
+                   csr.shape[0], csr.shape[1])
+
+    # -- ops ----------------------------------------------------------------
+    def __len__(self) -> int:
+        return self.n_user
+
+    def gather(self, rows: np.ndarray) -> np.ndarray:
+        """Dense float32 [len(rows), n_item] batch."""
+        rows = np.ascontiguousarray(rows, dtype=np.int32)
+        out = np.empty((len(rows), self.n_item), dtype=np.float32)
+        lib = _ensure_lib()
+        if lib is not None:
+            lib.assemble_batch(self.indptr, self.indices, rows,
+                               len(rows), self.n_item, out)
+        else:
+            out.fill(0.0)
+            for r, u in enumerate(rows):
+                out[r, self.indices[self.indptr[u]:self.indptr[u + 1]]] = 1.0
+        return out
+
+    def sample_bpr(self, users: np.ndarray,
+                   seed: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(pos, neg) item ids for the given users."""
+        users = np.ascontiguousarray(users, dtype=np.int32)
+        pos = np.empty(len(users), dtype=np.int32)
+        neg = np.empty(len(users), dtype=np.int32)
+        lib = _ensure_lib()
+        if lib is not None:
+            lib.sample_bpr(self.indptr, self.indices, self.n_item,
+                           users, len(users), np.uint64(seed), pos, neg)
+            return pos, neg
+        rng = np.random.default_rng(seed)
+        for k, u in enumerate(users):
+            items = self.indices[self.indptr[u]:self.indptr[u + 1]]
+            if len(items) == 0:
+                pos[k] = rng.integers(self.n_item)
+                neg[k] = rng.integers(self.n_item)
+                continue
+            pos[k] = rng.choice(items)
+            iset = set(items.tolist())
+            while True:
+                cand = int(rng.integers(self.n_item))
+                if cand not in iset:
+                    neg[k] = cand
+                    break
+        return pos, neg

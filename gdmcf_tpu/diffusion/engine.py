@@ -67,6 +67,22 @@ def mean_flat(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(x.shape[0], -1).mean(axis=1)
 
 
+def mix_tensors(key: jax.Array, t1: jnp.ndarray, t2: jnp.ndarray,
+                mix_prob: float = 0.5) -> jnp.ndarray:
+    """Bernoulli element blending (ref mix_tensors :33-52): each cell comes
+    from t1 with probability mix_prob, else from t2."""
+    assert t1.shape == t2.shape
+    mask = jax.random.bernoulli(key, mix_prob, t1.shape).astype(t1.dtype)
+    return mask * t1 + (1.0 - mask) * t2
+
+
+def normal_kl(mean1, logvar1, mean2, logvar2):
+    """KL divergence between two diagonal Gaussians (ref normal_kl :1793-1820;
+    defined-but-unused in the reference's live path, kept for API parity)."""
+    return 0.5 * (-1.0 + logvar2 - logvar1 + jnp.exp(logvar1 - logvar2)
+                  + ((mean1 - mean2) ** 2) * jnp.exp(-logvar2))
+
+
 # Model apply signature shared by all backbones:
 #   apply(params, x, t, x_U, index, graph, *, train, rng) -> (scores, closs|None)
 ModelApply = Callable[..., Tuple[jnp.ndarray, Optional[jnp.ndarray]]]
@@ -91,9 +107,19 @@ class Diffusion:
     fidelity: bool = True
     history_num_per_term: int = 10
     uniform_prob: float = 0.001
+    # "discrete"  — GaussianDiffusionDiscrete (ref :552-1135), the live class
+    # "legacy"    — GaussianDiffusion (ref :54-547): continuous-only corruption
+    #               (x_tU is a q_sample of the one-hot), no graph growth, no
+    #               contrastive loss; supports the gcn-routed backbones
+    # "ablation"  — GaussianDiffusionAblation (ref :1201-1763): identical
+    #               corruption but the model sees the CLEAN x_start / one-hot
+    #               (ref :1518-1520) with only the graph corrupted, and the
+    #               degree gate is ALWAYS applied in p_sample (ref :1367)
+    variant: str = "discrete"
 
     @staticmethod
-    def create(cfg, mean_type: Optional[MeanType] = None, index_in: bool = True) -> "Diffusion":
+    def create(cfg, mean_type: Optional[MeanType] = None, index_in: bool = True,
+               variant: str = "discrete") -> "Diffusion":
         if mean_type is None:
             mean_type = MeanType.START_X if cfg.mean_type == "x0" else MeanType.EPSILON
         coeffs = None
@@ -112,6 +138,7 @@ class Diffusion:
             user_guided=bool(cfg.user_guided),
             fidelity=cfg.fidelity,
             history_num_per_term=cfg.history_num_per_term,
+            variant=variant,
         )
 
     # ------------------------------------------------------------------
@@ -246,7 +273,7 @@ class Diffusion:
         k_ts_u, k_noise_u, k_ts, k_noise, k_drop = jax.random.split(key, 5)
 
         x_tU = None
-        if self.cat_one_hot:
+        if self.cat_one_hot and self.variant != "legacy":
             ts_u, _pt_u = self.sample_timesteps(k_ts_u, lt, B)
             if self.discrete_noise:
                 x_tU = self.corrupt_discrete(k_noise_u, ts_u, x_start)
@@ -262,11 +289,28 @@ class Diffusion:
         noise = jax.random.normal(k_noise, x_start.shape)
         x_t = self.q_sample(x_start, ts, noise) if self.noise_scale != 0.0 else x_start
 
+        if self.variant == "legacy" and self.cat_one_hot:
+            # Legacy class: x_tU is a *continuous* q_sample of the one-hot at
+            # the same ts (ref GaussianDiffusion training_losses :293-300).
+            x_startU = jnp.stack([1.0 - x_start, x_start], axis=-1)
+            noise_u = jax.random.normal(k_noise_u, x_startU.shape)
+            x_tU = (self.q_sample(x_startU, ts, noise_u)
+                    if self.noise_scale != 0.0 else x_startU)
+
         # Uniform call: backbones ignore the kwargs they don't use. RCloss is
         # only requested on the indexIn path, as the reference does (ref :889).
-        model_output, closs = model_apply(
-            params, x_t, ts, x_tU, index=index, graph=x_tU,
-            rcloss=self.index_in and self.cat_one_hot, train=train, rng=k_drop)
+        rcloss = self.index_in and self.cat_one_hot and self.variant != "legacy"
+        if self.variant == "ablation":
+            # Ablation trains on the CLEAN inputs; only the graph is the
+            # corrupted x_tU (ref :1518-1520).
+            clean_onehot = jnp.stack([1.0 - x_start, x_start], axis=-1)
+            model_output, closs = model_apply(
+                params, x_start, ts, clean_onehot, index=index, graph=x_tU,
+                rcloss=rcloss, train=train, rng=k_drop)
+        else:
+            model_output, closs = model_apply(
+                params, x_t, ts, x_tU, index=index, graph=x_tU,
+                rcloss=rcloss, train=train, rng=k_drop)
 
         target = x_start if self.mean_type == MeanType.START_X else noise
         assert model_output.shape == target.shape == x_start.shape
@@ -316,14 +360,14 @@ class Diffusion:
         B, n = x_start.shape
         k_init_u, k_init_c, k_loop = jax.random.split(key, 3)
 
-        # -- discrete side input (ref :671-687)
+        # -- discrete side input (ref :671-687; legacy variant ref :165-175)
         x_tU = None
         if self.cat_one_hot:
             if sampling_steps == 0:
                 x_tU = jnp.stack([1.0 - x_start, x_start], axis=-1)
             else:
                 t0 = jnp.full((B,), sampling_steps - 1, dtype=jnp.int32)
-                if self.discrete_noise:
+                if self.discrete_noise and self.variant != "legacy":
                     x_tU = self.corrupt_discrete(k_init_u, t0, x_start)
                 else:
                     x_su = jnp.stack([1.0 - x_start, x_start], axis=-1)
@@ -345,10 +389,37 @@ class Diffusion:
                                      train=False, rng=None)
             return x_t
 
+        if self.variant == "legacy":
+            # Legacy reverse loop (ref :198-217): plain posterior iteration,
+            # no synthetic-graph growth.
+            def legacy_step(carry, i):
+                x_t, k = carry
+                k, k_noise = jax.random.split(k)
+                t = jnp.full((B,), i, dtype=jnp.int32)
+                model_output, _ = model_apply(
+                    params, x_t, t, x_tU, index=index, graph=None,
+                    rcloss=False, train=False, rng=None)
+                pred = (model_output if self.mean_type == MeanType.START_X
+                        else self.predict_xstart_from_eps(x_t, t, model_output))
+                mean = self.q_posterior_mean(pred, x_t, t)
+                if sampling_noise:
+                    c = self.coeffs
+                    nz = (t != 0).astype(x_t.dtype).reshape(
+                        -1, *([1] * (x_t.ndim - 1)))
+                    noise = jax.random.normal(k_noise, x_t.shape)
+                    log_var = extract(c.posterior_log_variance_clipped, t, x_t.ndim)
+                    mean = mean + nz * jnp.exp(0.5 * log_var) * noise
+                return (mean, k), None
+
+            ts_seq = jnp.arange(self.steps - 1, -1, -1, dtype=jnp.int32)
+            (x_t, _), _ = jax.lax.scan(legacy_step, (x_t, k_loop), ts_seq)
+            return x_t
+
         # Degree-guided gate probability: per-user normalized degree of the
         # *input* rows (ref :711-713); resampled every step.
         deg = x_start.sum(axis=1)
         deg_p = deg / jnp.maximum(deg.max(), 1e-12)
+        clean_onehot = jnp.stack([1.0 - x_start, x_start], axis=-1)
 
         def step(carry, i):
             x_t, g, k = carry
@@ -362,23 +433,29 @@ class Diffusion:
             p1 = self.discrete_p_one(a, g)
             s = jax.random.bernoulli(k_sprinkle, p1)
             gate = jax.random.bernoulli(k_gate, deg_p)[:, None]
-            if self.user_guided:
+            # Ablation ALWAYS applies the degree gate (ref :1367); the live
+            # class honors --user_guided (ref :720-723).
+            if self.user_guided or self.variant == "ablation":
                 grown = s & gate
             else:
                 grown = s
             g = jnp.logical_or(g > 0.5, grown).astype(x_start.dtype)
             graph = jnp.stack([1.0 - g, g], axis=-1)
 
-            # p_mean_variance (ref :1063-1103)
+            # p_mean_variance (ref :1063-1103). The ablation variant feeds the
+            # CLEAN x_start and clean one-hot to the model and to the
+            # posterior, so only the grown graph varies per step (ref :1386).
+            x_in = x_start if self.variant == "ablation" else x_t
+            xu_in = clean_onehot if self.variant == "ablation" else x_tU
             model_output, _ = model_apply(
-                params, x_t, t, x_tU, index=index, graph=graph,
+                params, x_in, t, xu_in, index=index, graph=graph,
                 rcloss=False, train=False, rng=None)
 
             if self.mean_type == MeanType.START_X:
                 pred_xstart = model_output
             else:
-                pred_xstart = self.predict_xstart_from_eps(x_t, t, model_output)
-            mean = self.q_posterior_mean(pred_xstart, x_t, t)
+                pred_xstart = self.predict_xstart_from_eps(x_in, t, model_output)
+            mean = self.q_posterior_mean(pred_xstart, x_in, t)
 
             if sampling_noise:
                 c = self.coeffs

@@ -40,7 +40,8 @@ class Trainer:
         self.n_user = n_user
         self.n_item = n_item
         self.model = build_model(cfg, n_user, n_item)
-        self.diffusion = Diffusion.create(cfg, index_in=self.model.needs_index)
+        self.diffusion = Diffusion.create(cfg, index_in=self.model.needs_index,
+                                          variant=cfg.diffusion_variant)
         self.tx = make_optimizer(cfg.lr, cfg.weight_decay)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl,
@@ -73,6 +74,14 @@ class Trainer:
                                opt_state=new_opt, lt=new_lt, key=key)
         return new_state, loss
 
+    @staticmethod
+    def _to_block_onehot(x: jnp.ndarray) -> jnp.ndarray:
+        """OneHotMatrix==1 mode: [B, n] adjacency -> [B+n, B+n] block matrix
+        (ref adjacency_to_one_hot, main.py:36-68) as one static-shape op."""
+        b, n = x.shape
+        y = jnp.zeros((b + n, b + n), dtype=x.dtype)
+        return y.at[:b, b:].set(x)
+
     def train_epoch(self, state: TrainState, dataset: DiffusionDataset,
                     rng: np.random.Generator):
         total_loss = 0.0
@@ -80,8 +89,10 @@ class Trainer:
         for x, idx in epoch_batches(dataset, self.cfg.batch_size, rng,
                                     shuffle=self.cfg.shuffle,
                                     drop_last=self.cfg.drop_last):
-            state, loss = self._train_step(state, jnp.asarray(x),
-                                           jnp.asarray(idx))
+            x = jnp.asarray(x)
+            if self.cfg.OneHotMatrix == 1:
+                x = self._to_block_onehot(x)
+            state, loss = self._train_step(state, x, jnp.asarray(idx))
             total_loss += float(loss)
             count += 1
         return state, total_loss
@@ -90,10 +101,20 @@ class Trainer:
     def _eval_step_impl(self, params, x, index, mask, key,
                         sampling_steps: int, top_k: int):
         """p_sample -> mask seen items -> device top-k (ref main.py:288-305)."""
-        scores = self.diffusion.p_sample(
-            self.model.apply, params, x, index, key,
-            sampling_steps=sampling_steps,
-            sampling_noise=self.cfg.sampling_noise)
+        if self.cfg.OneHotMatrix == 1:
+            b = x.shape[0]
+            scores_full = self.diffusion.p_sample(
+                self.model.apply, params, self._to_block_onehot(x), index, key,
+                sampling_steps=sampling_steps,
+                sampling_noise=self.cfg.sampling_noise)
+            # threshold + block extraction (ref main.py:291-295)
+            scores_full = jnp.where(scores_full <= 0.1, 0.0, scores_full)
+            scores = scores_full[:b, b:]
+        else:
+            scores = self.diffusion.p_sample(
+                self.model.apply, params, x, index, key,
+                sampling_steps=sampling_steps,
+                sampling_noise=self.cfg.sampling_noise)
         scores = jnp.where(mask > 0, -jnp.inf, scores)
         _, idx = jax.lax.top_k(scores, top_k)
         return idx

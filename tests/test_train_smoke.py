@@ -44,3 +44,22 @@ def test_loss_decreases(tmp_path):
         state, loss = trainer._train_step(state, rows, idx)
         losses.append(float(loss))
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_onehotmatrix1_mode(tmp_path):
+    """OneHotMatrix==1: [B,n] -> [B+n,B+n] block one-hot end-to-end
+    (ref main.py:282-295,334-336)."""
+    from gdmcf_tpu.data.loader import data_load, generate_synthetic_dataset
+    paths = generate_synthetic_dataset(str(tmp_path / "oh1"), n_user=48,
+                                       n_item=32, avg_degree=8, seed=5)
+    train, valid, test, n_user, n_item = data_load(*paths)
+    cfg = Config(backbone="DNN", OneHotMatrix=1, dims=[16], emb_size=10,
+                 steps=5, noise_scale=0.01, batch_size=16, epochs=2,
+                 eval_every=2, topN=[5, 10], lr=1e-3, debug=True,
+                 sampling_steps=0)
+    assert cfg.out_dims(n_item) == [16, n_item + 16]
+    trainer = Trainer(cfg, n_user, n_item)
+    logs = []
+    state, best = trainer.fit(train, valid, test, log=logs.append)
+    assert best is not None
+    assert all(0.0 <= v <= 1.0 for v in best[1])
