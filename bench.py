@@ -52,12 +52,46 @@ def measure(batch=1024, iters=30, warmup=5, seed=0):
     return batch * iters / dt
 
 
+def measure_infer(batch=1024, iters=20, warmup=3, seed=0, top_k=100):
+    """p50 latency of one fused eval step: full reverse-diffusion scan +
+    history masking + device top-k (the serving path)."""
+    cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[1000], emb_size=10,
+                 steps=5, noise_scale=0.01, batch_size=batch,
+                 sampling_steps=0)
+    trainer = Trainer(cfg, n_user=N_USER, n_item=N_ITEM)
+    state = trainer.init_state()
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray((rng.random((batch, N_ITEM)) < 0.01).astype(np.float32))
+    idx = jnp.asarray(rng.permutation(N_USER)[:batch].astype(np.int32))
+    key = jax.random.PRNGKey(0)
+    times = []
+    for i in range(warmup + iters):
+        t0 = time.perf_counter()
+        out = trainer._eval_step(state.params, x, idx, x, key,
+                                 sampling_steps=0, top_k=top_k)
+        jax.block_until_ready(out)
+        if i >= warmup:
+            times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1000.0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--metric", choices=["train", "infer"], default="train")
     ap.add_argument("--measure-baseline", action="store_true")
     args = ap.parse_args()
+
+    if args.metric == "infer":
+        p50 = measure_infer(batch=args.batch, iters=args.iters)
+        print(json.dumps({
+            "metric": "infer_p50_batch_latency",
+            "value": round(p50, 2),
+            "unit": "ms",
+            "vs_baseline": 0.0,
+        }))
+        return
 
     baseline = TORCH_CPU_BASELINE_EPS
     if args.measure_baseline:

@@ -18,6 +18,15 @@ Layer map (bottom-up, mirroring SURVEY.md §1):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("GDMCF_DEVICE", "").lower() == "cpu":
+    # Pin compute to host CPU (this image's sitecustomize force-registers the
+    # axon TPU backend, which admits one client process at a time; use this
+    # for side runs / probes while the chip is busy).
+    import jax as _jax
+    _jax.config.update("jax_default_device", _jax.devices("cpu")[0])
+
 from gdmcf_tpu.config import Config, load_config
 
 __all__ = ["Config", "load_config", "__version__"]

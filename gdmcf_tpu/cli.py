@@ -12,14 +12,9 @@ import sys
 import time
 from datetime import datetime
 
-import jax
 import numpy as np
 
-# GDMCF_DEVICE=cpu pins compute to host CPU (the axon TPU backend is
-# force-registered by this image's sitecustomize and admits ONE client
-# process at a time; use this for side runs while the chip is busy).
-if os.environ.get("GDMCF_DEVICE", "").lower() == "cpu":
-    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+# note: GDMCF_DEVICE=cpu is honored at package import (gdmcf_tpu/__init__.py)
 
 from gdmcf_tpu.config import Config, parse_args
 from gdmcf_tpu.data.loader import data_load, generate_synthetic_dataset

@@ -235,8 +235,51 @@ class Diffusion:
 
     def update_lt(self, lt: LtState, ts: jnp.ndarray,
                   losses: jnp.ndarray) -> LtState:
-        """Per-example ring-buffer update, preserving the reference's in-batch
-        sequential semantics (ref :935-949) while staying on-device."""
+        """Vectorized ring-buffer update with the reference's exact
+        sequential-per-example semantics (ref :935-949).
+
+        The torch loop appends each example's loss to its timestep's ring in
+        batch order (write-at-count while filling, shift-left once full).
+        The aggregate effect per timestep row is: concatenate the row's
+        current first `count` entries with that timestep's batch losses in
+        order, keep the LAST H, saturate the count. That closed form runs as
+        one O(steps x (B+H)) batched computation instead of a B-long serial
+        scatter chain — the original formulation cost ~B sequential
+        dynamic-updates per training step on TPU.
+        (Equality with the sequential loop is asserted in tests.)
+        """
+        h = self.history_num_per_term
+        b = ts.shape[0]
+        losses = jax.lax.stop_gradient(losses).astype(lt.history.dtype)
+
+        def per_step(t, carry):
+            hist, cnt = carry
+            mask = ts == t
+            k = mask.sum()
+            c = cnt[t]
+            # seq[0:c] = old row prefix, seq[c:c+k] = this step's losses in
+            # batch order, rest zero
+            seq = jnp.zeros((h + b,), dtype=hist.dtype)
+            seq = seq.at[jnp.arange(h)].add(
+                jnp.where(jnp.arange(h) < c, hist[t], 0.0))
+            pos = c + jnp.cumsum(mask) - 1
+            pos = jnp.where(mask, pos, h + b - 1)  # park unmasked writes
+            seq = seq.at[pos].add(jnp.where(mask, losses, 0.0))
+            total = c + k
+            start = jnp.maximum(total - h, 0)
+            row = jax.lax.dynamic_slice(seq, (start,), (h,))
+            hist = hist.at[t].set(row)
+            cnt = cnt.at[t].set(jnp.minimum(total, h))
+            return hist, cnt
+
+        hist, cnt = jax.lax.fori_loop(0, self.steps, per_step,
+                                      (lt.history, lt.count))
+        return LtState(history=hist, count=cnt)
+
+    def update_lt_sequential(self, lt: LtState, ts: jnp.ndarray,
+                             losses: jnp.ndarray) -> LtState:
+        """Direct per-example transcription of the reference loop (ref
+        :935-949); kept as the oracle for update_lt's closed form."""
         h = self.history_num_per_term
 
         def body(i, carry):

@@ -1,0 +1,74 @@
+"""Multi-host runtime (SURVEY.md §2.3 / §5: a net-new capability — the
+reference is strictly single-process, single-GPU).
+
+Usage on a pod slice (one process per host):
+
+    from gdmcf_tpu.parallel import multihost
+    multihost.initialize()               # jax.distributed under the hood
+    mesh = multihost.global_mesh(dp=..., mp=...)
+
+Layout convention: dp spans hosts (gradient psum rides DCN once per step),
+mp stays within a host's chips (catalog all-gathers ride ICI) — the
+scaling-book placement for a bandwidth-bound catalog axis.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None,
+               timeout_s: int = 300) -> None:
+    """jax.distributed.initialize with env fallbacks; no-op if single-process.
+
+    Env contract (matching common launchers): COORDINATOR_ADDRESS,
+    NUM_PROCESSES, PROCESS_ID.
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "COORDINATOR_ADDRESS")
+    if coordinator_address is None:
+        return  # single-host run
+    num_processes = num_processes or int(os.environ.get("NUM_PROCESSES", "1"))
+    process_id = process_id if process_id is not None else int(
+        os.environ.get("PROCESS_ID", "0"))
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        initialization_timeout=timeout_s,
+    )
+
+
+def global_mesh(dp: Optional[int] = None, mp: Optional[int] = None) -> Mesh:
+    """(dp, mp) mesh over all global devices. Defaults: mp = chips per host
+    (catalog axis on ICI), dp = hosts (data axis over DCN)."""
+    devices = jax.devices()
+    if mp is None:
+        mp = max(jax.local_device_count(), 1)
+    if dp is None:
+        dp = len(devices) // mp
+    grid = np.asarray(devices).reshape(dp, mp)
+    return Mesh(grid, axis_names=("dp", "mp"))
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def sync_hosts(name: str = "barrier", devices=None) -> None:
+    """Cross-host barrier via a tiny psum (safe on single host too)."""
+    from jax.sharding import PartitionSpec as P
+    devices = devices if devices is not None else jax.devices()
+    mesh = Mesh(np.asarray(devices).reshape(len(devices)), axis_names=("all",))
+    fn = jax.shard_map(
+        lambda x: jax.lax.psum(x, "all"),
+        mesh=mesh, in_specs=P("all"), out_specs=P(),
+        check_vma=False)
+    np.asarray(fn(np.ones((len(devices),), np.float32)))

@@ -16,9 +16,10 @@ gradients) — the scaling-book recipe: pick a mesh, annotate, let XLA work.
 from __future__ import annotations
 
 import re
-from typing import Any, List, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -46,7 +47,26 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def param_specs(params: Any, rules=None) -> Any:
+def compatible_spec(spec: P, shape, mesh: Mesh) -> P:
+    """Drop spec axes whose dimension isn't divisible by the mesh axis size
+    (device_put rejects uneven shardings; XLA would pad inside jit, but
+    explicit placement must be even). Returns a possibly-reduced spec."""
+    if len(spec) > len(shape):
+        return P()
+    out = []
+    for dim, axis in zip(shape, tuple(spec) + (None,) * (len(shape) - len(spec))):
+        if axis is None:
+            out.append(None)
+            continue
+        size = mesh.shape[axis] if not isinstance(axis, tuple) else int(
+            np.prod([mesh.shape[a] for a in axis]))
+        out.append(axis if dim % size == 0 else None)
+    while out and out[-1] is None:
+        out.pop()
+    return P(*out)
+
+
+def param_specs(params: Any, rules=None, mesh: Optional[Mesh] = None) -> Any:
     """Pytree of PartitionSpec matching params, by first-matching rule."""
     rules = rules or DEFAULT_RULES
 
@@ -57,6 +77,8 @@ def param_specs(params: Any, rules=None) -> Any:
                 # never shard a dim the leaf doesn't have
                 if len([a for a in spec if a is not None]) and leaf.ndim < len(spec):
                     return P()
+                if mesh is not None:
+                    return compatible_spec(spec, leaf.shape, mesh)
                 return spec
         return P()
 
@@ -65,7 +87,7 @@ def param_specs(params: Any, rules=None) -> Any:
 
 def param_shardings(params: Any, mesh: Mesh, rules=None) -> Any:
     return jax.tree_util.tree_map(
-        lambda s: NamedSharding(mesh, s), param_specs(params, rules))
+        lambda s: NamedSharding(mesh, s), param_specs(params, rules, mesh))
 
 
 def shard_params(params: Any, mesh: Mesh, rules=None) -> Any:

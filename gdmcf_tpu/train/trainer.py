@@ -43,13 +43,39 @@ class Trainer:
         self.diffusion = Diffusion.create(cfg, index_in=self.model.needs_index,
                                           variant=cfg.diffusion_variant)
         self.tx = make_optimizer(cfg.lr, cfg.weight_decay)
+        self.mesh = None
+        if cfg.mesh_dp * cfg.mesh_mp > 1:
+            from gdmcf_tpu.parallel.mesh import make_mesh
+            devices = jax.devices()
+            if len(devices) < cfg.mesh_dp * cfg.mesh_mp:
+                devices = jax.devices("cpu")
+            self.mesh = make_mesh(cfg.mesh_dp, cfg.mesh_mp, devices)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl,
                                   static_argnames=("sampling_steps", "top_k"))
 
     # ------------------------------------------------------------------
     def init_state(self) -> TrainState:
-        return create_train_state(self.cfg, self.model.init)
+        state = create_train_state(self.cfg, self.model.init)
+        if self.mesh is not None:
+            from gdmcf_tpu.parallel.sharding import shard_params
+            params = shard_params(state.params, self.mesh)
+            opt_state = self.tx.init(params)  # zeros_like inherits shardings
+            state = state._replace(params=params, opt_state=opt_state)
+        return state
+
+    def _put_batch(self, x: jnp.ndarray, idx: jnp.ndarray):
+        if self.mesh is None:
+            return jnp.asarray(x), jnp.asarray(idx)
+        from jax.sharding import NamedSharding
+        from gdmcf_tpu.parallel.sharding import compatible_spec
+        from jax.sharding import PartitionSpec as P
+        x = jnp.asarray(x)
+        idx = jnp.asarray(idx)
+        xs = compatible_spec(P("dp", "mp"), x.shape, self.mesh)
+        is_ = compatible_spec(P("dp"), idx.shape, self.mesh)
+        return (jax.device_put(x, NamedSharding(self.mesh, xs)),
+                jax.device_put(idx, NamedSharding(self.mesh, is_)))
 
     def num_params(self, state: TrainState) -> int:
         return param_count(state.params)
@@ -92,7 +118,8 @@ class Trainer:
             x = jnp.asarray(x)
             if self.cfg.OneHotMatrix == 1:
                 x = self._to_block_onehot(x)
-            state, loss = self._train_step(state, x, jnp.asarray(idx))
+            x, idx = self._put_batch(x, idx)
+            state, loss = self._train_step(state, x, idx)
             total_loss += float(loss)
             count += 1
         return state, total_loss
@@ -116,7 +143,14 @@ class Trainer:
                 sampling_steps=sampling_steps,
                 sampling_noise=self.cfg.sampling_noise)
         scores = jnp.where(mask > 0, -jnp.inf, scores)
-        _, idx = jax.lax.top_k(scores, top_k)
+        if (self.mesh is not None and self.cfg.mesh_mp > 1
+                and scores.shape[1] % self.cfg.mesh_mp == 0
+                and scores.shape[0] % self.cfg.mesh_dp == 0):
+            # shard-local top-k + k-merge: only [B, k] crosses the ICI
+            from gdmcf_tpu.ops.topk import sharded_topk
+            _, idx = sharded_topk(self.mesh, scores, top_k)
+        else:
+            _, idx = jax.lax.top_k(scores, top_k)
         return idx
 
     def evaluate(self, state: TrainState, eval_rows: np.ndarray,
@@ -141,6 +175,8 @@ class Trainer:
             rows = jnp.asarray(eval_rows[start:start + bs])
             uids = jnp.arange(start, start + rows.shape[0], dtype=jnp.int32)
             mask = jnp.asarray(mask_matrix[start:start + rows.shape[0]])
+            rows, uids = self._put_batch(rows, uids)
+            mask, _ = self._put_batch(mask, uids)
             key, sub = jax.random.split(key)
             idx = self._eval_step(state.params, rows, uids, mask, sub,
                                   sampling_steps=cfg.sampling_steps,
@@ -168,10 +204,23 @@ class Trainer:
         log(f"Number of all parameters: {self.num_params(state)}")
         rng = np.random.default_rng(cfg.random_seed)
 
-        best_metric, best_epoch = -100.0, 0
+        if checkpointer is None and cfg.ckpt_dir:
+            from gdmcf_tpu.train.checkpoint import Checkpointer
+            checkpointer = Checkpointer(cfg.ckpt_dir)
+        start_epoch = 1
+        if checkpointer is not None and cfg.resume:
+            latest = checkpointer.latest_step()
+            if latest is not None:
+                state = checkpointer.restore(state)
+                steps_per_epoch = max(len(dataset) // cfg.batch_size, 1)
+                start_epoch = int(state.step) // steps_per_epoch + 1
+                log(f"resumed from checkpoint at step {int(state.step)} "
+                    f"(epoch {start_epoch})")
+
+        best_metric, best_epoch = -100.0, max(start_epoch - 1, 0)
         best_results = None
         topn = cfg.topN
-        for epoch in range(1, cfg.epochs + 1):
+        for epoch in range(start_epoch, cfg.epochs + 1):
             if epoch - best_epoch >= cfg.early_stop_patience:
                 log("-" * 18)
                 log("Exiting from training early")
@@ -192,16 +241,18 @@ class Trainer:
                 print_results(None, valid_results, test_results)
 
                 # selection metric: index [2] is NDCG (despite the reference's
-                # "recall" comment), cutoff topN[1] (ref main.py:362-363)
-                if valid_results[2][1] > best_metric:
+                # "recall" comment), cutoff topN[1] (ref main.py:362-363);
+                # falls back to the only cutoff if just one is configured
+                sel = min(1, len(topn) - 1)
+                if valid_results[2][sel] > best_metric:
                     if cfg.fidelity:
-                        best_metric = test_results[2][1]  # reference quirk
+                        best_metric = test_results[2][sel]  # reference quirk
                     else:
-                        best_metric = valid_results[2][1]
+                        best_metric = valid_results[2][sel]
                     best_epoch = epoch
                     best_results = test_results
                     if checkpointer is not None:
-                        checkpointer.save(state, epoch)
+                        checkpointer.save(state)
 
             log("Runing Epoch {:03d} train loss {:.4f} costs {}".format(
                 epoch, total_loss,

@@ -43,3 +43,34 @@ def test_checkpoint_roundtrip_bit_exact(tmp_path):
                     jax.tree_util.tree_leaves(state_b.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     ckpt.close()
+
+
+def test_fit_resume_from_checkpoint(tmp_path):
+    """fit() with ckpt_dir saves the best state; a second fit() with
+    resume=True restores it and continues from the right epoch."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(0)
+    n_user, n_item = 32, 24
+    train = sp.csr_matrix((rng.random((n_user, n_item)) < 0.3).astype(np.float32))
+    valid = sp.csr_matrix((rng.random((n_user, n_item)) < 0.1).astype(np.float32))
+    test = sp.csr_matrix((rng.random((n_user, n_item)) < 0.1).astype(np.float32))
+
+    def cfg(epochs):
+        return Config(backbone="DNNOneHotEmbeddingGCN", dims=[12], emb_size=10,
+                      steps=5, noise_scale=0.01, batch_size=8, epochs=epochs,
+                      eval_every=2, topN=[5], lr=1e-3, debug=True,
+                      sampling_steps=0, ckpt_dir=str(tmp_path / "ck"),
+                      resume=True)
+
+    t1 = Trainer(cfg(2), n_user, n_item)
+    logs1 = []
+    state1, _ = t1.fit(train, valid, test, log=logs1.append)
+    assert int(state1.step) == 2 * (n_user // 8)
+
+    t2 = Trainer(cfg(4), n_user, n_item)
+    logs2 = []
+    state2, _ = t2.fit(train, valid, test, log=logs2.append)
+    assert any("resumed from checkpoint" in l for l in logs2)
+    # resumed run continues beyond the first run's steps
+    assert int(state2.step) > int(state1.step) - 2 * (n_user // 8)

@@ -131,3 +131,27 @@ def test_training_losses_grad():
     flat, _ = jax.tree_util.tree_flatten(grads)
     assert all(bool(jnp.all(jnp.isfinite(g))) for g in flat)
     assert np.isfinite(float(val))
+
+
+def test_update_lt_vectorized_matches_sequential_oracle():
+    """The closed-form batched ring update == the reference's per-example
+    sequential loop, across random fill states."""
+    cfg, model, diff, params, x, index = setup()
+    steps, H = cfg.steps, cfg.history_num_per_term
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        cnt0 = rng.integers(0, H + 1, steps).astype(np.int32)
+        hist0 = rng.standard_normal((steps, H)).astype(np.float32)
+        # entries beyond count are zeros in real states
+        for t in range(steps):
+            hist0[t, cnt0[t]:] = 0.0
+        lt = LtState(history=jnp.asarray(hist0), count=jnp.asarray(cnt0))
+        bsz = int(rng.integers(1, 40))
+        ts = jnp.asarray(rng.integers(0, steps, bsz).astype(np.int32))
+        losses = jnp.asarray(rng.standard_normal(bsz).astype(np.float32))
+        fast = diff.update_lt(lt, ts, losses)
+        slow = diff.update_lt_sequential(lt, ts, losses)
+        np.testing.assert_array_equal(np.asarray(fast.count),
+                                      np.asarray(slow.count))
+        np.testing.assert_allclose(np.asarray(fast.history),
+                                   np.asarray(slow.history), rtol=1e-6)
