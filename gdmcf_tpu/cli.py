@@ -52,7 +52,11 @@ def main(cfg: Config) -> None:
 
     trainer = Trainer(cfg, n_user=n_user, n_item=n_item)
     print("models ready.")
-    state, best = trainer.fit(train_data, valid_y_data, test_y_data)
+    from gdmcf_tpu.utils.logging import MetricLogger
+    metric_logger = MetricLogger(out_path, echo=False)
+    state, best = trainer.fit(train_data, valid_y_data, test_y_data,
+                              metric_logger=metric_logger)
+    metric_logger.close()
     print("End time: ",
           time.strftime("%Y-%m-%d %H:%M:%S", time.localtime(time.time())))
 

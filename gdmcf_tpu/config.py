@@ -115,16 +115,9 @@ class Config:
             raise ValueError(f"Unimplemented mean type {self.mean_type}")
         if self.time_type != "cat":
             raise ValueError(f"Unimplemented timestep embedding type {self.time_type}")
-        if self.sampling_steps > self.steps:
-            # The reference only asserts this inside p_sample at first eval —
-            # note: its own amazon YAML ships sampling_steps=25(default) with
-            # steps=5 and would crash there. Warn early; the engine still
-            # asserts at eval.
-            import warnings
-            warnings.warn(
-                f"sampling_steps ({self.sampling_steps}) > steps "
-                f"({self.steps}): evaluation will fail (reference "
-                f"gaussian_diffusion.py:669 asserts this)", stacklevel=2)
+        # note: sampling_steps > steps is only fatal at eval; the Trainer
+        # warns about it at construction (the reference's own amazon YAML
+        # ships that combination and would crash its first eval)
         if self.diffusion_variant not in ("discrete", "legacy", "ablation"):
             raise ValueError(f"unknown diffusion_variant {self.diffusion_variant}")
 

@@ -76,6 +76,15 @@ def mix_tensors(key: jax.Array, t1: jnp.ndarray, t2: jnp.ndarray,
     return mask * t1 + (1.0 - mask) * t2
 
 
+def absorbing_qt_bar(alpha_bar_t: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """Absorbing-state transition matrices Q_bar = a*I + (1-a)*1 — the
+    reference's vestigial AbsorbingStateTransition helper (ref :14-27),
+    kept for API parity. alpha_bar_t: [B] -> [B, C, C]."""
+    a = alpha_bar_t[:, None, None]
+    eye = jnp.eye(num_classes)[None]
+    return a * eye + (1.0 - a) * jnp.ones((1, num_classes, num_classes))
+
+
 def normal_kl(mean1, logvar1, mean2, logvar2):
     """KL divergence between two diagonal Gaussians (ref normal_kl :1793-1820;
     defined-but-unused in the reference's live path, kept for API parity)."""

@@ -100,6 +100,37 @@ def dnn(in_dims: List[int], out_dims: List[int], emb_size: int,
     return ModelDef(init, apply, needs_onehot=False, needs_index=False)
 
 
+def dnn_conti(in_dims, out_dims, emb_size, item_num, user_num,
+              norm=False, dropout_rate=0.5) -> ModelDef:
+    """DNN_conti (ref :90-177): the plain DNN forward plus unused embedding
+    tables — experiment residue kept for inventory/param parity. The tables
+    are allocated (they ARE parameters in the reference) but, exactly like
+    the reference, never used in the forward pass."""
+    assert out_dims[0] == in_dims[-1]
+    in_t = _tower_dims(in_dims, emb_size)
+    d_user = in_t[-1]
+    d_item = in_t[-1] + d_user
+
+    def init(key):
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        return {
+            "emb_layer": linear_init(k1, emb_size, emb_size),
+            "in_layers": mlp_init(k2, in_t),
+            "out_layers": mlp_init(k3, out_dims),
+            "embedding_item": xavier_uniform(k4, (item_num, d_item)),
+            "embedding_user": xavier_uniform(k5, (user_num, d_user)),
+        }
+
+    base = dnn(in_dims, out_dims, emb_size, norm, dropout_rate)
+
+    def apply(p, x, t, x_U=None, index=None, graph=None,
+              rcloss=False, train=False, rng=None):
+        return base.apply(p, x, t, x_U, index=index, graph=graph,
+                          rcloss=rcloss, train=train, rng=rng)
+
+    return ModelDef(init, apply, needs_onehot=False, needs_index=False)
+
+
 # ---------------------------------------------------------------------------
 # DNNCat / DNNCat2 — fuse continuous x with one-hot x_U before the MLP
 # ---------------------------------------------------------------------------

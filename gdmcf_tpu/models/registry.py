@@ -8,6 +8,7 @@ from gdmcf_tpu.models.backbones import (
     dnn,
     dnn_cat,
     dnn_cat2,
+    dnn_conti,
     dnn_lightgcn,
     dnn_one_hot,
     dnn_one_hot_embedding,
@@ -17,6 +18,7 @@ from gdmcf_tpu.models.backbones import (
 
 BACKBONES = (
     "DNN",
+    "DNN_conti",
     "DNNCat",
     "DNNCat2",
     "DNNOneHot",
@@ -36,6 +38,9 @@ def build_model(cfg, n_user: int, n_item: int) -> ModelDef:
     b = cfg.backbone
     if b == "DNN":
         return dnn(in_dims, out_dims, cfg.emb_size, **common)
+    if b == "DNN_conti":
+        return dnn_conti(in_dims, out_dims, cfg.emb_size, n_item, n_user,
+                         **common)
     if b == "DNNCat":
         return dnn_cat(in_dims, out_dims, cfg.emb_size, **common)
     if b == "DNNCat2":

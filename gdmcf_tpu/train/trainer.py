@@ -43,6 +43,12 @@ class Trainer:
         self.diffusion = Diffusion.create(cfg, index_in=self.model.needs_index,
                                           variant=cfg.diffusion_variant)
         self.tx = make_optimizer(cfg.lr, cfg.weight_decay)
+        if cfg.sampling_steps > cfg.steps:
+            import warnings
+            warnings.warn(
+                f"sampling_steps ({cfg.sampling_steps}) > steps ({cfg.steps}):"
+                " evaluation will fail (the reference asserts this inside "
+                "p_sample, gaussian_diffusion.py:669)", stacklevel=2)
         self.mesh = None
         if cfg.mesh_dp * cfg.mesh_mp > 1:
             from gdmcf_tpu.parallel.mesh import make_mesh
@@ -189,7 +195,7 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def fit(self, train_csr, valid_csr, test_csr, log=print,
-            checkpointer=None):
+            checkpointer=None, metric_logger=None):
         cfg = self.cfg
         n_rows = cfg.n_user_cap or train_csr.shape[0]
         train_rows = np.asarray(train_csr.todense(), dtype=np.float32)[:n_rows]
@@ -239,6 +245,9 @@ class Trainer:
                     test_results = self.evaluate(
                         state, train_rows, test_gt, mask_tv, topn)
                 print_results(None, valid_results, test_results)
+                if metric_logger is not None:
+                    metric_logger.eval_results(epoch, "valid", topn, valid_results)
+                    metric_logger.eval_results(epoch, "test", topn, test_results)
 
                 # selection metric: index [2] is NDCG (despite the reference's
                 # "recall" comment), cutoff topN[1] (ref main.py:362-363);
@@ -257,6 +266,9 @@ class Trainer:
             log("Runing Epoch {:03d} train loss {:.4f} costs {}".format(
                 epoch, total_loss,
                 time.strftime("%H: %M: %S", time.gmtime(time.time() - start_time))))
+            if metric_logger is not None:
+                metric_logger.metrics(epoch, train_loss=total_loss,
+                                      epoch_s=time.time() - start_time)
         log("=" * 54)
         log(f"End. Best Epoch {best_epoch:03d}")
         if best_results is not None:

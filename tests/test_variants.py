@@ -94,3 +94,13 @@ def test_normal_kl_zero_for_identical():
     # KL > 0 for different distributions
     kl2 = normal_kl(jnp.zeros(4), jnp.zeros(4), jnp.ones(4), jnp.zeros(4))
     assert float(kl2.sum()) > 0
+
+
+def test_absorbing_qt_bar_rows_stochastic():
+    import jax.numpy as jnp
+    from gdmcf_tpu.diffusion.engine import absorbing_qt_bar
+    q = absorbing_qt_bar(jnp.asarray([0.0, 0.3, 1.0]), num_classes=4)
+    assert q.shape == (3, 4, 4)
+    # rows sum to a + (1-a)*C (the reference helper is unnormalized; parity)
+    np.testing.assert_allclose(np.asarray(q.sum(-1)[1]),
+                               0.3 + 0.7 * 4, rtol=1e-6)
