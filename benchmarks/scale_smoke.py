@@ -1,0 +1,73 @@
+"""Large-catalog smoke on real hardware: train + eval at a geometry where the
+dense host path would be prohibitive, via host_dense=False (CSR-backed
+batches + streamed metrics).
+
+Default geometry: 100k users x 32,768 items (item table [32768, 3000] f32 =
+0.4 GB; per-batch activations [1024, 32768]). Scales further with --mesh_mp
+on a multi-chip slice.
+
+Run:  PYTHONPATH=. python benchmarks/scale_smoke.py [--users 100000]
+      [--items 32768] [--epochs 1]
+Prints steady-state examples/s and one eval's metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def synthetic_csr(rng, n_user, n_item, avg_degree=12, alpha=1.05):
+    pop = 1.0 / np.arange(1, n_item + 1) ** alpha
+    pop /= pop.sum()
+    degrees = np.maximum(rng.poisson(avg_degree, n_user), 1)
+    rows = np.repeat(np.arange(n_user), degrees)
+    cols = rng.choice(n_item, size=degrees.sum(), p=pop)
+    data = np.ones(len(rows), np.float32)
+    m = sp.csr_matrix((data, (rows, cols)), shape=(n_user, n_item))
+    m.data[:] = 1.0  # dedupe multiplicities
+    return m
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--users", type=int, default=100_000)
+    ap.add_argument("--items", type=int, default=32_768)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--dims", type=int, default=1000)
+    ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument("--mesh_dp", type=int, default=1)
+    ap.add_argument("--mesh_mp", type=int, default=1)
+    args = ap.parse_args()
+
+    from gdmcf_tpu.config import Config
+    from gdmcf_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    print(f"building synthetic CSR {args.users} x {args.items} ...")
+    train = synthetic_csr(rng, args.users, args.items)
+    valid = synthetic_csr(rng, args.users, args.items, avg_degree=2)
+    test = synthetic_csr(rng, args.users, args.items, avg_degree=3)
+    print(f"train nnz: {train.nnz}")
+
+    cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[args.dims],
+                 emb_size=10, steps=5, noise_scale=0.01, batch_size=args.batch,
+                 epochs=args.epochs, eval_every=args.epochs, topN=[10, 20],
+                 lr=1e-4, debug=True, sampling_steps=0, host_dense=False,
+                 mesh_dp=args.mesh_dp, mesh_mp=args.mesh_mp)
+    trainer = Trainer(cfg, args.users, args.items)
+
+    t0 = time.time()
+    state, best = trainer.fit(train, valid, test)
+    dt = time.time() - t0
+    steps = int(state.step)
+    print(f"total {dt:.1f}s for {steps} steps "
+          f"(includes compile + {args.epochs // cfg.eval_every} evals)")
+    print("best:", best)
+
+
+if __name__ == "__main__":
+    main()

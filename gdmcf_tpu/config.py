@@ -102,6 +102,13 @@ class Config:
     # data loading
     drop_last: bool = True
     shuffle: bool = True
+    # host_dense=False switches fit() to the large-catalog path: CSR-backed
+    # native batch assembly + streamed metrics; nothing [n_user, n_item]-dense
+    # materializes on the host
+    host_dense: bool = True
+    # enable jax_debug_nans (the framework's sanitizer analog, SURVEY.md §5:
+    # functional purity + NaN checks replace TSAN for this workload)
+    debug_nans: bool = False
     # checkpointing
     ckpt_dir: Optional[str] = None
     resume: bool = False

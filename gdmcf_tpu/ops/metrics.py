@@ -24,10 +24,12 @@ import numpy as np
 
 
 @partial(jax.jit, static_argnames=("topn",))
-def _metrics_core(hits: jnp.ndarray, gt_count: jnp.ndarray,
+def _metrics_sums(hits: jnp.ndarray, gt_count: jnp.ndarray,
                   topn: Tuple[int, ...]) -> jnp.ndarray:
-    """hits [N, K_max] {0,1}, gt_count [N] -> [4, len(topn)] metric means."""
-    n_users = hits.shape[0]
+    """hits [N, K_max] {0,1}, gt_count [N] -> [4, len(topn)] metric SUMS
+    (divide by the user count to get the reference's means). Sums make the
+    computation streamable batch-by-batch for catalogs too large to rank in
+    one call."""
     k_max = hits.shape[1]
     disc = 1.0 / jnp.log2(jnp.arange(k_max, dtype=jnp.float32) + 2.0)
     cum_disc = jnp.cumsum(disc)  # cum_disc[j] = sum_{i<=j} 1/log2(i+2)
@@ -48,7 +50,7 @@ def _metrics_core(hits: jnp.ndarray, gt_count: jnp.ndarray,
         mrr = jnp.where(has_hit, 1.0 / (first_hit + 1.0), 0.0) * valid
         cols.append(jnp.stack([precision.sum(), recall.sum(),
                                ndcg.sum(), mrr.sum()]))
-    return jnp.stack(cols, axis=1) / n_users
+    return jnp.stack(cols, axis=1)
 
 
 def compute_topn_accuracy(
@@ -64,10 +66,34 @@ def compute_topn_accuracy(
     idx = jnp.asarray(pred_indices)
     hits = jnp.take_along_axis(gt, idx, axis=1).astype(jnp.float32)
     gt_count = gt.sum(axis=1).astype(jnp.float32)
-    out = np.asarray(_metrics_core(hits, gt_count, tuple(topn)))
+    out = np.asarray(_metrics_sums(hits, gt_count, tuple(topn))) / gt.shape[0]
     precision, recall, ndcg, mrr = out
     rnd = lambda row: [round(float(v), 4) for v in row]
     return rnd(precision), rnd(recall), rnd(ndcg), rnd(mrr)
+
+
+class MetricAccumulator:
+    """Streamed Precision/Recall/NDCG/MRR: feed (gt_rows, pred_idx) batches,
+    read the reference-equivalent means at the end. Exact — sums are
+    accumulated unrounded, the division happens once."""
+
+    def __init__(self, topn: Sequence[int]):
+        self.topn = tuple(topn)
+        self.sums = np.zeros((4, len(self.topn)), dtype=np.float64)
+        self.n_users = 0
+
+    def add(self, gt_rows, pred_idx) -> None:
+        gt = jnp.asarray(gt_rows)
+        idx = jnp.asarray(pred_idx)
+        hits = jnp.take_along_axis(gt, idx, axis=1).astype(jnp.float32)
+        gt_count = gt.sum(axis=1).astype(jnp.float32)
+        self.sums += np.asarray(_metrics_sums(hits, gt_count, self.topn))
+        self.n_users += gt.shape[0]
+
+    def result(self):
+        out = self.sums / max(self.n_users, 1)
+        rnd = lambda row: [round(float(v), 4) for v in row]
+        return rnd(out[0]), rnd(out[1]), rnd(out[2]), rnd(out[3])
 
 
 def print_results(loss, valid_result, test_result) -> None:

@@ -43,6 +43,8 @@ class Trainer:
         self.diffusion = Diffusion.create(cfg, index_in=self.model.needs_index,
                                           variant=cfg.diffusion_variant)
         self.tx = make_optimizer(cfg.lr, cfg.weight_decay)
+        if cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         if cfg.sampling_steps > cfg.steps:
             import warnings
             warnings.warn(
@@ -193,18 +195,64 @@ class Trainer:
         users = np.concatenate(kept_users)
         return compute_topn_accuracy(gt_matrix[users], pred, topn)
 
+    def evaluate_streaming(self, state: TrainState, input_csrs, gt_csr,
+                           mask_csrs, topn, key=None):
+        """Large-catalog eval: batches assembled from NativeCSR (O(nnz) host
+        memory), metrics streamed through MetricAccumulator — nothing dense
+        of size [n_user, n_item] ever materializes on the host.
+
+        input_csrs / mask_csrs: lists of NativeCSR whose per-row union forms
+        the model input / history mask (e.g. [train] or [train, valid]).
+        """
+        from gdmcf_tpu.ops.metrics import MetricAccumulator
+
+        cfg = self.cfg
+        if key is None:
+            key = jax.random.PRNGKey(cfg.random_seed + 12345)
+        n = len(input_csrs[0])
+        bs = cfg.batch_size
+        stop = (n // bs) * bs if cfg.drop_last else n
+        acc = MetricAccumulator(topn)
+        top_k = int(topn[-1])
+
+        def union(csrs, idx):
+            out = csrs[0].gather(idx)
+            for c in csrs[1:]:
+                out = np.clip(out + c.gather(idx), 0.0, 1.0)
+            return out
+
+        for start in range(0, stop, bs):
+            idx = np.arange(start, min(start + bs, n), dtype=np.int32)
+            rows = jnp.asarray(union(input_csrs, idx))
+            mask = jnp.asarray(union(mask_csrs, idx))
+            gt = gt_csr.gather(idx)
+            rows, uids = self._put_batch(rows, jnp.asarray(idx))
+            mask, _ = self._put_batch(mask, uids)
+            key, sub = jax.random.split(key)
+            pred = self._eval_step(state.params, rows, uids, mask, sub,
+                                   sampling_steps=cfg.sampling_steps,
+                                   top_k=top_k)
+            acc.add(gt, np.asarray(pred))
+        return acc.result()
+
     # ------------------------------------------------------------------
     def fit(self, train_csr, valid_csr, test_csr, log=print,
             checkpointer=None, metric_logger=None):
         cfg = self.cfg
         n_rows = cfg.n_user_cap or train_csr.shape[0]
-        train_rows = np.asarray(train_csr.todense(), dtype=np.float32)[:n_rows]
-        valid_gt = np.asarray(valid_csr.todense(), dtype=np.float32)[:n_rows]
-        test_gt = np.asarray(test_csr.todense(), dtype=np.float32)[:n_rows]
-        mask_tv = np.clip(train_rows + valid_gt, 0, 1)
-
-        dataset = DiffusionDataset.__new__(DiffusionDataset)
-        dataset.rows = train_rows
+        if cfg.host_dense:
+            train_rows = np.asarray(train_csr.todense(), dtype=np.float32)[:n_rows]
+            valid_gt = np.asarray(valid_csr.todense(), dtype=np.float32)[:n_rows]
+            test_gt = np.asarray(test_csr.todense(), dtype=np.float32)[:n_rows]
+            mask_tv = np.clip(train_rows + valid_gt, 0, 1)
+            dataset = DiffusionDataset.__new__(DiffusionDataset)
+            dataset.rows = train_rows
+        else:
+            from gdmcf_tpu.data.native import NativeCSR
+            train_n = NativeCSR.from_scipy(train_csr[:n_rows])
+            valid_n = NativeCSR.from_scipy(valid_csr[:n_rows])
+            test_n = NativeCSR.from_scipy(test_csr[:n_rows])
+            dataset = train_n
 
         state = self.init_state()
         log(f"Number of all parameters: {self.num_params(state)}")
@@ -235,15 +283,23 @@ class Trainer:
             state, total_loss = self.train_epoch(state, dataset, rng)
 
             if epoch % cfg.eval_every == 0:
-                valid_results = self.evaluate(
-                    state, train_rows, valid_gt, train_rows, topn)
-                if cfg.tst_w_val:
-                    test_results = self.evaluate(
-                        state, np.clip(train_rows + valid_gt, 0, 1),
-                        test_gt, mask_tv, topn)
+                if cfg.host_dense:
+                    valid_results = self.evaluate(
+                        state, train_rows, valid_gt, train_rows, topn)
+                    if cfg.tst_w_val:
+                        test_results = self.evaluate(
+                            state, np.clip(train_rows + valid_gt, 0, 1),
+                            test_gt, mask_tv, topn)
+                    else:
+                        test_results = self.evaluate(
+                            state, train_rows, test_gt, mask_tv, topn)
                 else:
-                    test_results = self.evaluate(
-                        state, train_rows, test_gt, mask_tv, topn)
+                    valid_results = self.evaluate_streaming(
+                        state, [train_n], valid_n, [train_n], topn)
+                    test_inputs = ([train_n, valid_n] if cfg.tst_w_val
+                                   else [train_n])
+                    test_results = self.evaluate_streaming(
+                        state, test_inputs, test_n, [train_n, valid_n], topn)
                 print_results(None, valid_results, test_results)
                 if metric_logger is not None:
                     metric_logger.eval_results(epoch, "valid", topn, valid_results)

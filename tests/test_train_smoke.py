@@ -63,3 +63,27 @@ def test_onehotmatrix1_mode(tmp_path):
     state, best = trainer.fit(train, valid, test, log=logs.append)
     assert best is not None
     assert all(0.0 <= v <= 1.0 for v in best[1])
+
+
+def test_host_dense_false_matches_dense_path(tmp_path):
+    """The CSR-backed streaming fit produces the same metrics as the dense
+    path (same seeds, same data)."""
+    from gdmcf_tpu.data.loader import data_load, generate_synthetic_dataset
+    paths = generate_synthetic_dataset(str(tmp_path / "hd"), n_user=64,
+                                       n_item=48, avg_degree=10, seed=9)
+    train, valid, test, n_user, n_item = data_load(*paths)
+
+    def run(host_dense):
+        cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[16], emb_size=10,
+                     steps=5, noise_scale=0.01, batch_size=16, epochs=2,
+                     eval_every=2, topN=[5, 10], lr=1e-3, debug=True,
+                     sampling_steps=0, host_dense=host_dense)
+        trainer = Trainer(cfg, n_user, n_item)
+        logs = []
+        _, best = trainer.fit(train, valid, test, log=logs.append)
+        return best
+
+    dense = run(True)
+    streaming = run(False)
+    for a, b in zip(dense, streaming):
+        assert a == b
