@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=1)
     ap.add_argument("--mesh_dp", type=int, default=1)
     ap.add_argument("--mesh_mp", type=int, default=1)
+    ap.add_argument("--eval_cap", type=int, default=None,
+                    help="cap the number of users trained/evaluated "
+                         "(host->device batch transfer over the dev tunnel "
+                         "is the bottleneck at this geometry)")
     args = ap.parse_args()
 
     from gdmcf_tpu.config import Config
@@ -57,7 +61,8 @@ def main():
                  emb_size=10, steps=5, noise_scale=0.01, batch_size=args.batch,
                  epochs=args.epochs, eval_every=args.epochs, topN=[10, 20],
                  lr=1e-4, debug=True, sampling_steps=0, host_dense=False,
-                 mesh_dp=args.mesh_dp, mesh_mp=args.mesh_mp)
+                 mesh_dp=args.mesh_dp, mesh_mp=args.mesh_mp,
+                 n_user_cap=args.eval_cap)
     trainer = Trainer(cfg, args.users, args.items)
 
     t0 = time.time()

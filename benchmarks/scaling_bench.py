@@ -1,0 +1,84 @@
+"""Multi-chip / multi-host scaling-efficiency benchmark.
+
+Measures train-step throughput at fixed per-chip batch (weak scaling) across
+mesh sizes, reporting efficiency vs the single-chip baseline — the
+BASELINE.md ">=80% multi-host scaling efficiency" metric.
+
+On a real slice (one process per host):
+    COORDINATOR_ADDRESS=... NUM_PROCESSES=... PROCESS_ID=... \
+        python benchmarks/scaling_bench.py --per-chip-batch 512
+
+On this 1-chip dev container it degenerates to the single-chip row (the
+virtual CPU mesh measures correctness, not bandwidth, so it is not used for
+efficiency numbers).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def measure_mesh(dp: int, mp: int, per_chip_batch: int, n_item: int,
+                 iters: int = 20, warmup: int = 3) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from gdmcf_tpu.config import Config
+    from gdmcf_tpu.train.trainer import Trainer
+
+    batch = per_chip_batch * dp
+    cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[1000], emb_size=10,
+                 steps=5, noise_scale=0.01, batch_size=batch,
+                 sampling_steps=0, mesh_dp=dp, mesh_mp=mp)
+    trainer = Trainer(cfg, n_user=max(batch * 2, 8192), n_item=n_item)
+    state = trainer.init_state()
+    rng = np.random.default_rng(0)
+    x = (rng.random((batch, n_item)) < 0.01).astype(np.float32)
+    idx = np.arange(batch, dtype=np.int32)
+    xs, idxs = trainer._put_batch(jnp.asarray(x), jnp.asarray(idx))
+
+    for _ in range(warmup):
+        state, loss = trainer._train_step(state, xs, idxs)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = trainer._train_step(state, xs, idxs)
+    jax.block_until_ready(loss)
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--per-chip-batch", type=int, default=512)
+    ap.add_argument("--n-item", type=int, default=2810)
+    ap.add_argument("--mp", type=int, default=1,
+                    help="catalog-axis shards (fixed while dp scales)")
+    args = ap.parse_args()
+
+    from gdmcf_tpu.parallel import multihost
+    multihost.initialize()
+    import jax
+
+    n = len(jax.devices())
+    results = {}
+    dp = 1
+    base = None
+    while dp * args.mp <= n:
+        eps = measure_mesh(dp, args.mp, args.per_chip_batch, args.n_item)
+        if base is None:
+            base = eps
+        results[f"dp={dp},mp={args.mp}"] = {
+            "examples_per_s": round(eps, 1),
+            "efficiency": round(eps / (base * dp), 4),
+        }
+        dp *= 2
+    if multihost.is_main_process():
+        print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -173,7 +173,7 @@ class Diffusion:
 
     def snr(self, t: jnp.ndarray) -> jnp.ndarray:
         """SNR(t) = alpha_bar / (1 - alpha_bar); t=-1 wraps like torch (ref :1113-1118)."""
-        ac = self.coeffs.alphas_cumprod[t]
+        ac = jnp.asarray(self.coeffs.alphas_cumprod)[t]
         return ac / (1.0 - ac)
 
     # ------------------------------------------------------------------
@@ -183,7 +183,7 @@ class Diffusion:
         if self.fidelity:
             # Reference quirk: alpha_bar := ts / batch_size (ref :775-776).
             return ts.astype(jnp.float32) / batch_size
-        return self.coeffs.alphas_cumprod[ts].astype(jnp.float32)
+        return jnp.asarray(self.coeffs.alphas_cumprod)[ts].astype(jnp.float32)
 
     def discrete_p_one(self, alpha_bar: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """P(state 1 | current state x) under Q_bar = a*I + (1-a)*u_x.
@@ -375,8 +375,10 @@ class Diffusion:
                 loss = mse
             else:
                 c = self.coeffs
-                weight = ((1.0 - c.alphas_cumprod[ts])
-                          / ((1.0 - c.alphas_cumprod_prev[ts]) ** 2 * (1.0 - c.betas[ts])))
+                ac = jnp.asarray(c.alphas_cumprod)[ts]
+                ac_prev = jnp.asarray(c.alphas_cumprod_prev)[ts]
+                betas = jnp.asarray(c.betas)[ts]
+                weight = (1.0 - ac) / ((1.0 - ac_prev) ** 2 * (1.0 - betas))
                 weight = jnp.where(ts == 0, 1.0, weight)
                 likelihood = mean_flat(
                     (x_start - self.predict_xstart_from_eps(x_t, ts, model_output)) ** 2 / 2.0)

@@ -77,24 +77,29 @@ def get_betas(
 
 
 class DiffusionCoeffs(NamedTuple):
-    """Precomputed per-step diffusion tables (ref calculate_for_diffusion :639-666)."""
+    """Precomputed per-step diffusion tables (ref calculate_for_diffusion :639-666).
 
-    betas: jnp.ndarray
-    alphas_cumprod: jnp.ndarray
-    alphas_cumprod_prev: jnp.ndarray
-    alphas_cumprod_next: jnp.ndarray
-    sqrt_alphas_cumprod: jnp.ndarray
-    sqrt_one_minus_alphas_cumprod: jnp.ndarray
-    log_one_minus_alphas_cumprod: jnp.ndarray
-    sqrt_recip_alphas_cumprod: jnp.ndarray
-    sqrt_recipm1_alphas_cumprod: jnp.ndarray
-    posterior_variance: jnp.ndarray
-    posterior_log_variance_clipped: jnp.ndarray
-    posterior_mean_coef1: jnp.ndarray
-    posterior_mean_coef2: jnp.ndarray
+    Stored as HOST numpy arrays: they embed as literal constants at trace
+    time (length-``steps`` vectors), so no device array, no device->host
+    constant fetch per trace, and jitted fns can close over them freely.
+    """
+
+    betas: np.ndarray
+    alphas_cumprod: np.ndarray
+    alphas_cumprod_prev: np.ndarray
+    alphas_cumprod_next: np.ndarray
+    sqrt_alphas_cumprod: np.ndarray
+    sqrt_one_minus_alphas_cumprod: np.ndarray
+    log_one_minus_alphas_cumprod: np.ndarray
+    sqrt_recip_alphas_cumprod: np.ndarray
+    sqrt_recipm1_alphas_cumprod: np.ndarray
+    posterior_variance: np.ndarray
+    posterior_log_variance_clipped: np.ndarray
+    posterior_mean_coef1: np.ndarray
+    posterior_mean_coef2: np.ndarray
 
 
-def compute_coeffs(betas: np.ndarray, dtype=jnp.float32) -> DiffusionCoeffs:
+def compute_coeffs(betas: np.ndarray, dtype=np.float32) -> DiffusionCoeffs:
     betas = np.asarray(betas, dtype=np.float64)
     steps = len(betas)
     alphas = 1.0 - betas
@@ -110,7 +115,7 @@ def compute_coeffs(betas: np.ndarray, dtype=jnp.float32) -> DiffusionCoeffs:
     )
 
     def dev(x):
-        return jnp.asarray(x, dtype=dtype)
+        return np.asarray(x, dtype=dtype)
 
     return DiffusionCoeffs(
         betas=dev(betas),
@@ -129,11 +134,11 @@ def compute_coeffs(betas: np.ndarray, dtype=jnp.float32) -> DiffusionCoeffs:
     )
 
 
-def extract(arr: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+def extract(arr, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
     """Gather per-example coefficients and broadcast to an ndim-rank tensor.
 
     Equivalent of the reference's ``_extract_into_tensor`` (ref :529-547):
     negative t wraps (torch-style), output dtype float32.
     """
-    out = arr[t].astype(jnp.float32)
+    out = jnp.asarray(arr)[t].astype(jnp.float32)
     return out.reshape(out.shape + (1,) * (ndim - 1))

@@ -88,6 +88,12 @@ class Trainer:
     def num_params(self, state: TrainState) -> int:
         return param_count(state.params)
 
+    def _matmul_precision(self):
+        """compute_dtype='bfloat16' -> fast single-pass MXU (DEFAULT);
+        'float32' -> 3-pass f32-equivalent precision ('float32')."""
+        return ("default" if self.cfg.compute_dtype == "bfloat16"
+                else "float32")
+
     # ------------------------------------------------------------------
     def _train_step_impl(self, state: TrainState, x: jnp.ndarray,
                          index: jnp.ndarray):
@@ -99,8 +105,9 @@ class Trainer:
                 reweight=self.cfg.reweight, train=True)
             return loss_vec.mean(), (new_lt, aux)
 
-        (loss, (new_lt, aux)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        with jax.default_matmul_precision(self._matmul_precision()):
+            (loss, (new_lt, aux)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates)
@@ -136,6 +143,12 @@ class Trainer:
     def _eval_step_impl(self, params, x, index, mask, key,
                         sampling_steps: int, top_k: int):
         """p_sample -> mask seen items -> device top-k (ref main.py:288-305)."""
+        with jax.default_matmul_precision(self._matmul_precision()):
+            return self._eval_step_body(params, x, index, mask, key,
+                                        sampling_steps, top_k)
+
+    def _eval_step_body(self, params, x, index, mask, key,
+                        sampling_steps: int, top_k: int):
         if self.cfg.OneHotMatrix == 1:
             b = x.shape[0]
             scores_full = self.diffusion.p_sample(

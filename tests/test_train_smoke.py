@@ -87,3 +87,29 @@ def test_host_dense_false_matches_dense_path(tmp_path):
     streaming = run(False)
     for a, b in zip(dense, streaming):
         assert a == b
+
+
+def test_eval_protocol_uses_train_rows_as_input(tmp_path):
+    """The eval loader iterates TRAIN rows and masks them (ref main.py:156,
+    296-299): a user's train items must never be recommended, and the
+    prediction indices must come from unseen items."""
+    import jax
+    import jax.numpy as jnp
+    from gdmcf_tpu.data.loader import data_load, generate_synthetic_dataset
+
+    paths = generate_synthetic_dataset(str(tmp_path / "ep"), n_user=48,
+                                       n_item=40, avg_degree=10, seed=11)
+    train, valid, test, n_user, n_item = data_load(*paths)
+    cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[16], emb_size=10,
+                 steps=5, noise_scale=0.01, batch_size=16, topN=[5, 10],
+                 sampling_steps=0)
+    trainer = Trainer(cfg, n_user, n_item)
+    state = trainer.init_state()
+    rows = np.asarray(train.todense(), dtype=np.float32)[:16]
+    idx = jnp.arange(16, dtype=jnp.int32)
+    pred = trainer._eval_step(state.params, jnp.asarray(rows), idx,
+                              jnp.asarray(rows), jax.random.PRNGKey(0),
+                              sampling_steps=0, top_k=10)
+    pred = np.asarray(pred)
+    for u in range(16):
+        assert not rows[u][pred[u]].any(), "train history leaked into top-k"
