@@ -91,7 +91,9 @@ class Config:
     symmetric_gcn: bool = False
     dropout: float = 0.5
     param_dtype: str = "float32"    # parameter storage dtype
-    compute_dtype: str = "float32"  # matmul dtype ("bfloat16" for MXU-speed)
+    # matmul precision: "bfloat16" -> single fast MXU pass (the measured-fast
+    # default), "float32" -> 3-pass f32-equivalent for bit-level comparisons
+    compute_dtype: str = "bfloat16"
     eval_every: int = 5             # reference main.py:353
     early_stop_patience: int = 200  # reference main.py:316-319
     history_num_per_term: int = 10  # Lt importance-sampler ring size
