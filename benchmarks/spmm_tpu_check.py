@@ -1,0 +1,79 @@
+"""Compiled-mode Pallas SpMM validation + micro-bench on the real TPU.
+
+CPU tests run the kernel in interpret mode (tests/test_spmm.py); this script
+runs the COMPILED Mosaic kernel on the chip and checks it against the dense
+product, then times it against the gather-based reference implementation.
+
+Run:  PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/spmm_tpu_check.py
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gdmcf_tpu.ops.spmm import spmm, spmm_reference, to_block_sparse
+
+    rng = np.random.RandomState(0)
+
+    # correctness at a few geometries
+    for (rows, cols, density) in [(512, 512, 0.02), (2048, 1024, 0.005),
+                                  (1024, 4096, 0.01)]:
+        m = sp.random(rows, cols, density=density, random_state=rng,
+                      dtype=np.float32, format="csr")
+        a = to_block_sparse(m, br=128, bc=128)
+        x = rng.randn(cols, 128).astype(np.float32)
+        y = np.asarray(jax.jit(lambda xx: spmm(a, xx))(jnp.asarray(x)))
+        expect = m.toarray() @ x
+        err = np.abs(y[:rows] - expect).max() / max(np.abs(expect).max(), 1e-6)
+        # TPU MXU default pass carries bf16 mantissas -> ~1e-3 relative
+        status = "OK" if err < 5e-3 else "FAIL"
+        print(f"[{status}] {rows}x{cols} d={density}: max rel err {err:.2e}",
+              flush=True)
+
+    # micro-bench: LightGCN-propagation-like shape on a POWER-LAW bipartite
+    # graph, degree-sorted so nonzeros cluster into the leading tiles — the
+    # regime the block format targets (uniform-random sparsity degenerates to
+    # ~1 nnz/tile and is served by the dense sharded path instead).
+    from gdmcf_tpu.ops.spmm import degree_sort_permutation
+
+    n_users, n_items, nnz = 65536, 65536, 2_000_000
+    pop = 1.0 / np.arange(1, n_items + 1) ** 1.2
+    pop /= pop.sum()
+    rows_i = rng.randint(0, n_users, nnz)
+    cols_i = rng.choice(n_items, size=nnz, p=pop)
+    m = sp.csr_matrix((np.ones(nnz, np.float32), (rows_i, cols_i)),
+                      shape=(n_users, n_items))
+    m.data[:] = 1.0
+    rp, cp = degree_sort_permutation(m)
+    m = m[rp][:, cp].tocsr()
+    a = to_block_sparse(m, br=128, bc=128, max_bytes=12 << 30)
+    fill = m.nnz / (a.blocks.shape[0] * a.br * a.bc)
+    print(f"power-law graph: nnz={m.nnz}, tiles={a.blocks.shape[0]}, "
+          f"tile fill={fill:.3f}", flush=True)
+    x = jnp.asarray(rng.randn(n_items, 128).astype(np.float32))
+
+    kern = jax.jit(lambda xx: spmm(a, xx))
+    ref = jax.jit(lambda xx: spmm_reference(a, xx))
+    for name, fn in (("pallas", kern), ("gather-ref", ref)):
+        out = fn(x)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out = fn(x)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / 10
+        gflops = 2 * m.nnz * x.shape[1] / dt / 1e9
+        print(f"{name}: {dt * 1e3:.2f} ms  ({gflops:.1f} sparse-GFLOP/s)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,8 +44,29 @@ class BlockSparse(NamedTuple):
     bc: int
 
 
-def to_block_sparse(mat: sp.spmatrix, br: int = 128, bc: int = 128) -> BlockSparse:
-    """Host-side: scipy sparse -> block-CSR with only nonzero tiles stored."""
+def degree_sort_permutation(mat: sp.spmatrix):
+    """(row_perm, col_perm) sorting rows/cols by descending degree.
+
+    Power-law graphs relabeled this way concentrate nonzeros into the leading
+    tiles, which is what makes the block format effective; apply with
+    ``mat[row_perm][:, col_perm]`` and remap embeddings/ids accordingly.
+    """
+    mat = mat.tocsr()
+    row_deg = np.asarray(mat.sum(axis=1)).ravel()
+    col_deg = np.asarray(mat.sum(axis=0)).ravel()
+    return np.argsort(-row_deg), np.argsort(-col_deg)
+
+
+def to_block_sparse(mat: sp.spmatrix, br: int = 128, bc: int = 128,
+                    max_bytes: int = 8 << 30) -> BlockSparse:
+    """Host-side: scipy sparse -> block-CSR with only nonzero tiles stored.
+
+    Refuses (ValueError) when the densified tiles would exceed ``max_bytes``:
+    uniform-random sparsity puts ~1 nnz per tile and blows storage up by
+    br*bc/1 — this format targets clustered/structured sparsity (see
+    degree_sort_permutation). For unstructured sparse graphs use the dense
+    path per catalog shard instead.
+    """
     mat = mat.tocoo()
     n_rows = -(-mat.shape[0] // br) * br
     n_cols = -(-mat.shape[1] // bc) * bc
@@ -54,6 +75,14 @@ def to_block_sparse(mat: sp.spmatrix, br: int = 128, bc: int = 128) -> BlockSpar
     tile_ids = rb.astype(np.int64) * (n_cols // bc) + cb
     uniq, inverse = np.unique(tile_ids, return_inverse=True)
     n_blocks = len(uniq)
+    nbytes = max(n_blocks, 1) * br * bc * 4
+    if nbytes > max_bytes:
+        raise ValueError(
+            f"block-sparse densification would take {nbytes / 2**30:.1f} GiB "
+            f"({n_blocks} tiles for {mat.nnz} nnz, fill "
+            f"{mat.nnz / max(n_blocks, 1) / (br * bc):.4f}); this format "
+            "needs clustered sparsity — degree-sort the graph "
+            "(degree_sort_permutation) or use the dense sharded path")
     blocks = np.zeros((max(n_blocks, 1), br, bc), dtype=np.float32)
     blocks[inverse, mat.row % br, mat.col % bc] = mat.data
     u_rb = (uniq // (n_cols // bc)).astype(np.int32)

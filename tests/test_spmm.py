@@ -64,3 +64,36 @@ def test_spmm_empty_row_tile(rng):
     y = np.asarray(spmm(a, jnp.asarray(x), interpret=True))
     np.testing.assert_allclose(y[128:256], 0.0)
     np.testing.assert_allclose(y[:300], m.toarray() @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_block_format_guard_rejects_unstructured(rng):
+    """Uniform-random sparsity (~1 nnz/tile) must be refused with guidance."""
+    n = 4096
+    nnz = 4000
+    m = sp.csr_matrix((np.ones(nnz, np.float32),
+                       (rng.integers(0, n, nnz), rng.integers(0, n, nnz))),
+                      shape=(n, n))
+    with pytest.raises(ValueError, match="clustered sparsity"):
+        to_block_sparse(m, br=128, bc=128, max_bytes=1 << 20)
+
+
+def test_degree_sort_improves_clustering(rng):
+    from gdmcf_tpu.ops.spmm import degree_sort_permutation
+    n_u, n_i, nnz = 1024, 1024, 8000
+    pop = 1.0 / np.arange(1, n_i + 1) ** 1.2
+    pop /= pop.sum()
+    rows = rng.integers(0, n_u, nnz)
+    cols = rng.choice(n_i, size=nnz, p=pop)
+    m = sp.csr_matrix((np.ones(nnz, np.float32), (rows, cols)),
+                      shape=(n_u, n_i))
+    m.data[:] = 1.0
+    rng2 = np.random.default_rng(1)
+    shuffled = m[rng2.permutation(n_u)][:, rng2.permutation(n_i)].tocsr()
+
+    def n_tiles(mat):
+        a = to_block_sparse(mat, br=128, bc=128, max_bytes=1 << 30)
+        return a.blocks.shape[0]
+
+    rp, cp = degree_sort_permutation(shuffled)
+    sorted_m = shuffled[rp][:, cp].tocsr()
+    assert n_tiles(sorted_m) < n_tiles(shuffled)
