@@ -30,10 +30,10 @@ TORCH_CPU_BASELINE_EPS = 239.5
 N_USER, N_ITEM = 5949, 2810
 
 
-def measure(batch=1024, iters=30, warmup=5, seed=0):
+def measure(batch=1024, iters=30, warmup=5, seed=0, rng_impl="threefry2x32"):
     cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[1000], emb_size=10,
                  steps=5, noise_scale=0.01, noise_min=0.001, noise_max=0.01,
-                 batch_size=batch, lr=1e-5)
+                 batch_size=batch, lr=1e-5, rng_impl=rng_impl)
     trainer = Trainer(cfg, n_user=N_USER, n_item=N_ITEM)
     state = trainer.init_state()
     rng = np.random.default_rng(seed)
@@ -81,6 +81,8 @@ def main():
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--metric", choices=["train", "infer"], default="train")
     ap.add_argument("--measure-baseline", action="store_true")
+    ap.add_argument("--rng", default="threefry2x32",
+                    choices=["threefry2x32", "rbg"])
     args = ap.parse_args()
 
     if args.metric == "infer":
@@ -98,7 +100,7 @@ def main():
         from benchmarks.torch_cpu_baseline import run as run_baseline
         baseline = run_baseline(batch=args.batch, iters=10)
 
-    eps = measure(batch=args.batch, iters=args.iters)
+    eps = measure(batch=args.batch, iters=args.iters, rng_impl=args.rng)
     print(json.dumps({
         "metric": "train_examples_per_s",
         "value": round(eps, 2),

@@ -44,7 +44,9 @@ def main():
     # ~1 nnz/tile and is served by the dense sharded path instead).
     from gdmcf_tpu.ops.spmm import degree_sort_permutation
 
-    n_users, n_items, nnz = 65536, 65536, 2_000_000
+    # sized so the densified tiles stay ~hundreds of MB: the dev tunnel's
+    # host->device bandwidth dominates bulk uploads
+    n_users, n_items, nnz = 16384, 16384, 600_000
     pop = 1.0 / np.arange(1, n_items + 1) ** 1.2
     pop /= pop.sum()
     rows_i = rng.randint(0, n_users, nnz)

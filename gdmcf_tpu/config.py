@@ -111,6 +111,10 @@ class Config:
     # enable jax_debug_nans (the framework's sanitizer analog, SURVEY.md §5:
     # functional purity + NaN checks replace TSAN for this workload)
     debug_nans: bool = False
+    # PRNG implementation: "threefry2x32" (default, splittable gold standard)
+    # or "rbg" (hardware RNG path, much faster for the large per-step
+    # bernoulli/normal draws this workload makes)
+    rng_impl: str = "threefry2x32"
     # checkpointing
     ckpt_dir: Optional[str] = None
     resume: bool = False

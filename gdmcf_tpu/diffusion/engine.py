@@ -466,7 +466,8 @@ class Diffusion:
                 return (mean, k), None
 
             ts_seq = jnp.arange(self.steps - 1, -1, -1, dtype=jnp.int32)
-            (x_t, _), _ = jax.lax.scan(legacy_step, (x_t, k_loop), ts_seq)
+            (x_t, _), _ = jax.lax.scan(legacy_step, (x_t, k_loop), ts_seq,
+                                       unroll=min(self.steps, 8))
             return x_t
 
         # Degree-guided gate probability: per-user normalized degree of the
@@ -523,5 +524,7 @@ class Diffusion:
 
         g0 = jnp.zeros_like(x_start)
         ts_seq = jnp.arange(self.steps - 1, -1, -1, dtype=jnp.int32)
-        (x_t, _, _), _ = jax.lax.scan(step, (x_t, g0, k_loop), ts_seq)
+        # small T: unrolling lets XLA fuse across reverse steps
+        (x_t, _, _), _ = jax.lax.scan(step, (x_t, g0, k_loop), ts_seq,
+                                      unroll=min(self.steps, 8))
         return x_t

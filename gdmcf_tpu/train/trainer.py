@@ -45,6 +45,8 @@ class Trainer:
         self.tx = make_optimizer(cfg.lr, cfg.weight_decay)
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
+        if cfg.rng_impl != "threefry2x32":
+            jax.config.update("jax_default_prng_impl", cfg.rng_impl)
         if cfg.sampling_steps > cfg.steps:
             import warnings
             warnings.warn(
