@@ -16,12 +16,26 @@ import scipy.sparse as sp
 
 
 def main():
+    import functools
+
     import jax
     import jax.numpy as jnp
 
-    from gdmcf_tpu.ops.spmm import spmm, spmm_reference, to_block_sparse
+    from gdmcf_tpu.ops.spmm import BlockSparse, spmm, spmm_reference, to_block_sparse
 
     rng = np.random.RandomState(0)
+
+    def jit_spmm(a, fn=spmm):
+        """Pass the sparse arrays as jit ARGUMENTS: closing over them embeds
+        hundreds of MB of constants in the program (the remote-compile
+        endpoint rejects such payloads with HTTP 413)."""
+        shape, br, bc = a.shape, a.br, a.bc
+
+        @functools.partial(jax.jit)
+        def run(blocks, cols, ptr, x):
+            return fn(BlockSparse(blocks, cols, ptr, shape, br, bc), x)
+
+        return lambda x: run(a.blocks, a.block_cols, a.row_ptr, x)
 
     # correctness at a few geometries
     for (rows, cols, density) in [(512, 512, 0.02), (2048, 1024, 0.005),
@@ -30,7 +44,7 @@ def main():
                       dtype=np.float32, format="csr")
         a = to_block_sparse(m, br=128, bc=128)
         x = rng.randn(cols, 128).astype(np.float32)
-        y = np.asarray(jax.jit(lambda xx: spmm(a, xx))(jnp.asarray(x)))
+        y = np.asarray(jit_spmm(a)(jnp.asarray(x)))
         expect = m.toarray() @ x
         err = np.abs(y[:rows] - expect).max() / max(np.abs(expect).max(), 1e-6)
         # TPU MXU default pass carries bf16 mantissas -> ~1e-3 relative
@@ -62,8 +76,8 @@ def main():
           f"tile fill={fill:.3f}", flush=True)
     x = jnp.asarray(rng.randn(n_items, 128).astype(np.float32))
 
-    kern = jax.jit(lambda xx: spmm(a, xx))
-    ref = jax.jit(lambda xx: spmm_reference(a, xx))
+    kern = jit_spmm(a)
+    ref = jit_spmm(a, fn=spmm_reference)
     for name, fn in (("pallas", kern), ("gather-ref", ref)):
         out = fn(x)
         jax.block_until_ready(out)

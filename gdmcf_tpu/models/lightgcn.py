@@ -118,6 +118,8 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
     n_user, n_item = train_csr.shape
     key = jax.random.PRNGKey(seed)
     e0 = xavier_uniform(key, (n_user + n_item, latent_dim))
+    # n_mat rides as a jit ARGUMENT — closing over it would embed the dense
+    # [n_user, n_item] block as a program constant (oversized compile payloads)
     n_mat = jnp.asarray(normalized_bipartite_blocks(train_csr))
     tx = optax.adam(lr)
     opt_state = tx.init(e0)
@@ -125,7 +127,7 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
     steps_per_epoch = max(n_user // batch_size, 1)
 
     @jax.jit
-    def train_step(e0, opt_state, users, pos, neg):
+    def train_step(e0, opt_state, n_mat, users, pos, neg):
         def loss_fn(e0):
             fu, fi = propagate(e0[:n_user], e0[n_user:], n_mat, n_layers)
             loss, reg = bpr_loss(fu[users], fi[pos], fi[neg],
@@ -137,7 +139,7 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
         return optax.apply_updates(e0, updates), opt_state, loss
 
     @jax.jit
-    def full_embeddings(e0):
+    def full_embeddings(e0, n_mat):
         return propagate(e0[:n_user], e0[n_user:], n_mat, n_layers)
 
     train_mask = np.asarray(train_csr.todense(), dtype=np.float32)
@@ -149,12 +151,12 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
         total = 0.0
         for _ in range(steps_per_epoch):
             users, pos, neg = sample_bpr_batch(rng, train_csr, batch_size)
-            e0, opt_state, loss = train_step(e0, opt_state,
+            e0, opt_state, loss = train_step(e0, opt_state, n_mat,
                                              jnp.asarray(users),
                                              jnp.asarray(pos),
                                              jnp.asarray(neg))
             total += float(loss)
-        fu, fi = full_embeddings(e0)
+        fu, fi = full_embeddings(e0, n_mat)
         scores = np.array(fu @ fi.T)  # writable host copy
         scores[train_mask > 0] = -np.inf
         pred = np.argsort(-scores, axis=1)[:, :k]

@@ -163,8 +163,11 @@ def spmm(a: BlockSparse, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray
     """y = A @ x with the Pallas kernel. x: [n_cols(unpadded ok), D], D
     should be a multiple of 128 for peak efficiency (any D works).
 
-    Not jitted here: BlockSparse.shape/br/bc are static metadata; wrap the
-    *call site* in jit (the BlockSparse arrays close over as constants).
+    Not jitted here: BlockSparse.shape/br/bc are static metadata. At the call
+    site, pass the BlockSparse ARRAYS as jit arguments and rebuild the
+    NamedTuple inside (see benchmarks/spmm_tpu_check.py:jit_spmm) — closing
+    over them embeds the whole sparse matrix as a program constant, which
+    bloats compiles (and oversizes remote-compile payloads).
     """
     br, bc = a.br, a.bc
     n_row_tiles = a.shape[0] // br
