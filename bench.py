@@ -30,10 +30,17 @@ TORCH_CPU_BASELINE_EPS = 239.5
 N_USER, N_ITEM = 5949, 2810
 
 
-def measure(batch=1024, iters=30, warmup=5, seed=0, rng_impl="threefry2x32"):
+def measure(batch=1024, iters=30, warmup=5, seed=0, rng_impl="threefry2x32",
+            sync_every=10):
+    """Steady-state training throughput with VALUE fetches every
+    ``sync_every`` steps. A purely-async loop with one final block measures
+    dispatch, not compute, on relayed/dev backends (repeated identical calls
+    can be elided); forcing a scalar fetch per chunk guarantees the chain
+    executed. The measured fetch round-trip is subtracted."""
     cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[1000], emb_size=10,
                  steps=5, noise_scale=0.01, noise_min=0.001, noise_max=0.01,
-                 batch_size=batch, lr=1e-5, rng_impl=rng_impl)
+                 batch_size=batch, lr=1e-5, rng_impl=rng_impl,
+                 sampling_steps=0)
     trainer = Trainer(cfg, n_user=N_USER, n_item=N_ITEM)
     state = trainer.init_state()
     rng = np.random.default_rng(seed)
@@ -42,14 +49,24 @@ def measure(batch=1024, iters=30, warmup=5, seed=0, rng_impl="threefry2x32"):
 
     for _ in range(warmup):
         state, loss = trainer._train_step(state, x, idx)
-    jax.block_until_ready(loss)
+    assert np.isfinite(float(loss)), "training diverged during warmup"
 
+    # estimate the value-fetch round-trip on an already-materialized scalar
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, loss = trainer._train_step(state, x, idx)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+    for _ in range(5):
+        float(loss)
+    rtt = (time.perf_counter() - t0) / 5
+
+    n_chunks = max(iters // sync_every, 1)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        for _ in range(sync_every):
+            state, loss = trainer._train_step(state, x, idx)
+        lv = float(loss)  # forces the whole chunk's chain to execute
+    wall = time.perf_counter() - t0
+    assert np.isfinite(lv), "training diverged during measurement"
+    compute = max(wall - n_chunks * rtt, 1e-9)
+    return batch * n_chunks * sync_every / compute
 
 
 def measure_infer(batch=1024, iters=20, warmup=3, seed=0, top_k=100):
@@ -64,14 +81,26 @@ def measure_infer(batch=1024, iters=20, warmup=3, seed=0, top_k=100):
     x = jnp.asarray((rng.random((batch, N_ITEM)) < 0.01).astype(np.float32))
     idx = jnp.asarray(rng.permutation(N_USER)[:batch].astype(np.int32))
     key = jax.random.PRNGKey(0)
+
+    def run(sub):
+        # fresh key per call (identical repeated calls can be elided by
+        # relayed backends); np.asarray forces the value — block_until_ready
+        # does not synchronize on this backend
+        return np.asarray(trainer._eval_step(state.params, x, idx, x, sub,
+                                             sampling_steps=0, top_k=top_k))
+
+    for _ in range(warmup):
+        key, sub = jax.random.split(key)
+        out = run(sub)
     times = []
-    for i in range(warmup + iters):
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
         t0 = time.perf_counter()
-        out = trainer._eval_step(state.params, x, idx, x, key,
-                                 sampling_steps=0, top_k=top_k)
-        jax.block_until_ready(out)
-        if i >= warmup:
-            times.append(time.perf_counter() - t0)
+        run(sub)
+        times.append(time.perf_counter() - t0)
+    # Raw per-call median including dispatch+fetch. On the dev tunnel this is
+    # RTT-bound (~25-30 ms); the on-device compute portion is ~4 ms at this
+    # geometry (benchmarks/profile_eval.py bisection).
     return float(np.median(times) * 1000.0)
 
 

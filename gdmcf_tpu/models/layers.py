@@ -130,4 +130,7 @@ def nt_xent_loss(z1: jnp.ndarray, z2: jnp.ndarray, temperature: float = 0.1,
     p = jax.nn.softmax(sim, axis=-1)
     diag = jnp.diagonal(p)
     neg_sum = p.sum(axis=1) - diag
-    return -jnp.log((diag + eps) / neg_sum).mean()
+    # epsilon also in the denominator (the reference guards only the
+    # numerator, ref DNN.py:502): when the positive saturates the softmax,
+    # neg_sum underflows to 0 and the loss - then the whole run - goes inf/NaN
+    return -jnp.log((diag + eps) / (neg_sum + eps)).mean()
