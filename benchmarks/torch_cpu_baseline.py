@@ -55,7 +55,9 @@ class TorchFlagship(nn.Module):
         sim = (h @ h_U.t()) / 0.1
         p = F.softmax(sim, dim=-1)
         diag = torch.diagonal(p)
-        closs = (-torch.log((diag + 1e-5) / (p.sum(1) - diag))).mean()
+        # denominator epsilon mirrors the saturation guard in
+        # gdmcf_tpu/models/layers.py:nt_xent_loss
+        closs = (-torch.log((diag + 1e-5) / (p.sum(1) - diag + 1e-5))).mean()
 
         user = self.embedding_user(index)
         item = self.embedding_item.weight

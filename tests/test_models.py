@@ -100,7 +100,8 @@ def test_nt_xent_matches_definition(rng):
     p = np.exp(sim) / np.exp(sim).sum(axis=1, keepdims=True)
     diag = np.diag(p)
     neg = p.sum(axis=1) - diag
-    expected = (-np.log((diag + 1e-5) / neg)).mean()
+    # denominator epsilon matches the saturation guard (models/layers.py)
+    expected = (-np.log((diag + 1e-5) / (neg + 1e-5))).mean()
     got = float(nt_xent_loss(z1, z2))
     assert abs(got - expected) < 1e-5
 
