@@ -21,7 +21,9 @@ from gdmcf_tpu.data.loader import data_load, generate_synthetic_dataset
 from gdmcf_tpu.train.trainer import Trainer
 
 
-def main(cfg: Config) -> None:
+def main(cfg: Config = None) -> None:
+    if cfg is None:  # installed console-script entry point
+        cfg = parse_args()
     out_path = os.path.join(cfg.log_name, cfg.dataset,
                             datetime.now().strftime("%Y%m%d"), cfg.out_name)
     os.makedirs(out_path, exist_ok=True)
@@ -50,7 +52,7 @@ def main(cfg: Config) -> None:
     print(f"density: {density:.6f}")
     print("data ready.")
 
-    trainer = Trainer(cfg, n_user=n_user, n_item=n_item)
+    trainer = Trainer(cfg, n_user=n_user, n_item=n_item, train_csr=train_data)
     print("models ready.")
     from gdmcf_tpu.utils.logging import MetricLogger
     metric_logger = MetricLogger(out_path, echo=False)

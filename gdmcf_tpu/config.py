@@ -133,6 +133,10 @@ class Config:
         # ships that combination and would crash its first eval)
         if self.diffusion_variant not in ("discrete", "legacy", "ablation"):
             raise ValueError(f"unknown diffusion_variant {self.diffusion_variant}")
+        if self.param_dtype != "float32":
+            raise ValueError("param_dtype: only float32 storage is implemented")
+        if self.compute_dtype not in ("bfloat16", "float32"):
+            raise ValueError("compute_dtype must be bfloat16 or float32")
 
     # -- derived helpers ------------------------------------------------------
     def out_dims(self, n_item: int) -> List[int]:
@@ -153,19 +157,24 @@ _FIELD_TYPES = {f.name: f for f in dataclasses.fields(Config)}
 
 
 def _coerce(name: str, value):
-    """Coerce a YAML/CLI value to the dataclass field's type."""
+    """Coerce a YAML/CLI value to the dataclass field's type (Optional[...]
+    wrappers included, so e.g. --n_user_cap 3000 arrives as an int)."""
     f = _FIELD_TYPES[name]
-    if value is None:
+    if value is None or (isinstance(value, str)
+                         and value.lower() in ("none", "null")):
         return None
-    if f.type in ("int", int):
-        return int(value)
-    if f.type in ("float", float):
-        return float(value)
-    if f.type in ("bool", bool):
+    t = f.type if isinstance(f.type, str) else getattr(f.type, "__name__", "")
+    if "List" in t or "list" in t:
+        return value  # parsed by __post_init__ (yaml list syntax)
+    if "bool" in t:
         if isinstance(value, str):
             return value.lower() in ("1", "true", "yes", "y")
         return bool(value)
-    if f.type in ("str", str):
+    if "int" in t:
+        return int(value)
+    if "float" in t:
+        return float(value)
+    if t == "str":
         return str(value)
     return value
 

@@ -93,6 +93,11 @@ def epoch_batches(
             rng = np.random.default_rng()
         rng.shuffle(order)
     stop = (n // batch_size) * batch_size if drop_last else n
+    if stop == 0 and n > 0:
+        # degenerate case (dataset smaller than one batch): the reference's
+        # drop_last would train/eval on nothing and then crash; serve the
+        # single partial batch instead
+        stop = n
     for start in range(0, stop, batch_size):
         idx = order[start:start + batch_size]
         yield dataset.gather(idx), idx.astype(np.int32)

@@ -474,16 +474,24 @@ def dnn_transformer(in_dims, out_dims, emb_size, norm=False,
 
 def dnn_lightgcn(in_dims, out_dims, emb_size, n_user, n_item,
                  norm=False, dropout_rate=0.5, lgn_dim: int = 64,
-                 lgn_layers: int = 2) -> ModelDef:
+                 lgn_layers: int = 2, norm_adj: Optional[tuple] = None) -> ModelDef:
     """DNNlightGCN (ref :1709-1804), dense reformulation.
 
     Reference flow per batch: adjacency -> edge list -> LightGCN.predict_link
     over the full training edge set -> filtered adjacency -> DNN. The per-edge
-    score is sigmoid(e_u . e_i) > 0.5 with embeddings propagated over the train
-    graph. Densely: S = sigmoid(E_u[index] @ E_i^T); x' = x * (S > 0.5). The
-    propagated embeddings over the *static* training graph are computed outside
-    and passed as params ("e_user"/"e_item"), matching the reference's use of a
-    frozen e_f edge set captured at model build (ref main.py:221-235).
+    score is sigmoid(e_u . e_i) > 0.5 with embeddings propagated over the
+    static train graph. Densely: S = sigmoid(E_u[index] @ E_i^T);
+    x' = x * (S > 0.5).
+
+    ``norm_adj``: (N, N^T) numpy blocks from
+    models/lightgcn.normalized_bipartite_blocks over the TRAIN matrix (the
+    reference's frozen e_f edge set, main.py:221-235). The boolean threshold
+    blocks all gradient to the LightGCN embeddings in the reference too, so
+    they stay at their init values — propagating ONCE at init is exactly
+    equivalent to the reference's per-forward propagate+predict_link. The
+    propagated tables live in params under "frozen_*" keys, which the
+    optimizer masks out (no weight-decay erosion). Without ``norm_adj`` the
+    raw init embeddings are used (0 propagation layers).
     """
     assert out_dims[0] == in_dims[-1]
     in_t = _tower_dims(in_dims, emb_size)
@@ -491,28 +499,28 @@ def dnn_lightgcn(in_dims, out_dims, emb_size, n_user, n_item,
     def init(key):
         k1, k2, k3, k4 = jax.random.split(key, 4)
         emb = xavier_uniform(k4, (n_user + n_item, lgn_dim))
+        e_user, e_item = emb[:n_user], emb[n_user:]
+        if norm_adj is not None:
+            r_ui = jnp.asarray(norm_adj[0])
+            us, its = [e_user], [e_item]
+            for _ in range(lgn_layers):
+                us.append(r_ui @ its[-1])
+                its.append(r_ui.T @ us[-2])
+            e_user = sum(us) / (lgn_layers + 1)
+            e_item = sum(its) / (lgn_layers + 1)
         return {
             "emb_layer": linear_init(k1, emb_size, emb_size),
             "in_layers": mlp_init(k2, in_t),
             "out_layers": mlp_init(k3, out_dims),
-            "lgn_embedding": emb,
+            "frozen_lgn_user": e_user,
+            "frozen_lgn_item": e_item,
         }
 
     def apply(p, x, t, x_U=None, index=None, graph=None,
-              rcloss=False, train=False, rng=None, norm_adj_blocks=None):
+              rcloss=False, train=False, rng=None):
         (k_drop,) = _split(rng, 1)
-        e = p["lgn_embedding"]
-        e_user, e_item = e[:n_user], e[n_user:]
-        if norm_adj_blocks is not None:
-            # LightGCN propagation over the training graph's normalized
-            # bipartite blocks (see models/lightgcn.py); mean over layers.
-            r_ui, r_iu = norm_adj_blocks
-            us, its = [e_user], [e_item]
-            for _ in range(lgn_layers):
-                us.append(r_ui @ its[-1])
-                its.append(r_iu @ us[-2])
-            e_user = sum(us) / (lgn_layers + 1)
-            e_item = sum(its) / (lgn_layers + 1)
+        e_user = jax.lax.stop_gradient(p["frozen_lgn_user"])
+        e_item = jax.lax.stop_gradient(p["frozen_lgn_item"])
         link = jax.nn.sigmoid(e_user[index] @ e_item.T) > 0.5
         x = x * link.astype(x.dtype)
         emb = linear(p["emb_layer"], timestep_embedding(t, emb_size))

@@ -31,7 +31,10 @@ BACKBONES = (
 )
 
 
-def build_model(cfg, n_user: int, n_item: int) -> ModelDef:
+def build_model(cfg, n_user: int, n_item: int, train_csr=None) -> ModelDef:
+    """train_csr: training interaction matrix; used by the lightGCN backbone
+    to propagate its link-filter embeddings over the frozen train graph
+    (reference main.py:221-235 builds e_f from train_data pre-model)."""
     in_dims = cfg.in_dims(n_item)
     out_dims = cfg.out_dims(n_item)
     common = dict(norm=cfg.norm, dropout_rate=cfg.dropout)
@@ -66,8 +69,13 @@ def build_model(cfg, n_user: int, n_item: int) -> ModelDef:
             gcn_layer_num=cfg.gcnLayerNum, noise_type=cfg.noise_type,
             symmetric_gcn=cfg.symmetric_gcn, conti=True, **common)
     if b == "lightGCN":
+        norm_adj = None
+        if train_csr is not None:
+            from gdmcf_tpu.models.lightgcn import normalized_bipartite_blocks
+            n_mat = normalized_bipartite_blocks(train_csr)
+            norm_adj = (n_mat, n_mat.T)
         return dnn_lightgcn(in_dims, out_dims, cfg.emb_size,
-                            n_user, n_item, **common)
+                            n_user, n_item, norm_adj=norm_adj, **common)
     raise ValueError(f"not implemented backbone: {b}")
 
 

@@ -84,7 +84,9 @@ def to_block_sparse(mat: sp.spmatrix, br: int = 128, bc: int = 128,
             "needs clustered sparsity — degree-sort the graph "
             "(degree_sort_permutation) or use the dense sharded path")
     blocks = np.zeros((max(n_blocks, 1), br, bc), dtype=np.float32)
-    blocks[inverse, mat.row % br, mat.col % bc] = mat.data
+    # add (not assign): duplicate COO entries must sum, matching scipy's
+    # canonical form and the dense product
+    np.add.at(blocks, (inverse, mat.row % br, mat.col % bc), mat.data)
     u_rb = (uniq // (n_cols // bc)).astype(np.int32)
     u_cb = (uniq % (n_cols // bc)).astype(np.int32)
     n_row_tiles = n_rows // br

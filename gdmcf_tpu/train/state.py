@@ -25,11 +25,28 @@ class TrainState(NamedTuple):
     key: jax.Array
 
 
+def _trainable_mask(params):
+    """False for params whose key starts with 'frozen_' — deterministic
+    constants (e.g. the lightGCN backbone's propagated link tables) that must
+    receive neither updates nor weight decay."""
+
+    def mask(path, leaf):
+        for p in path:
+            key = getattr(p, "key", None)
+            if isinstance(key, str) and key.startswith("frozen_"):
+                return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(mask, params)
+
+
 def make_optimizer(lr: float, weight_decay: float) -> optax.GradientTransformation:
     """AdamW with torch defaults (ref main.py:258 uses optim.AdamW defaults:
-    betas=(0.9, 0.999), eps=1e-8)."""
-    return optax.adamw(learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8,
-                       weight_decay=weight_decay)
+    betas=(0.9, 0.999), eps=1e-8); 'frozen_*' params are masked out."""
+    return optax.masked(
+        optax.adamw(learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8,
+                    weight_decay=weight_decay),
+        _trainable_mask)
 
 
 def create_train_state(cfg, model_init, seed: int = None) -> TrainState:

@@ -35,11 +35,11 @@ from gdmcf_tpu.train.state import TrainState, create_train_state, make_optimizer
 
 
 class Trainer:
-    def __init__(self, cfg: Config, n_user: int, n_item: int):
+    def __init__(self, cfg: Config, n_user: int, n_item: int, train_csr=None):
         self.cfg = cfg
         self.n_user = n_user
         self.n_item = n_item
-        self.model = build_model(cfg, n_user, n_item)
+        self.model = build_model(cfg, n_user, n_item, train_csr=train_csr)
         self.diffusion = Diffusion.create(cfg, index_in=self.model.needs_index,
                                           variant=cfg.diffusion_variant)
         self.tx = make_optimizer(cfg.lr, cfg.weight_decay)
@@ -58,6 +58,15 @@ class Trainer:
             from gdmcf_tpu.parallel.mesh import make_mesh
             devices = jax.devices()
             if len(devices) < cfg.mesh_dp * cfg.mesh_mp:
+                # dev/test convenience: virtual CPU devices stand in for a
+                # slice — but never silently in production
+                import warnings
+                warnings.warn(
+                    f"mesh ({cfg.mesh_dp},{cfg.mesh_mp}) needs "
+                    f"{cfg.mesh_dp * cfg.mesh_mp} devices but only "
+                    f"{len(devices)} accelerators exist; falling back to "
+                    "virtual CPU devices (expect CPU-speed training)",
+                    stacklevel=2)
                 devices = jax.devices("cpu")
             self.mesh = make_mesh(cfg.mesh_dp, cfg.mesh_mp, devices)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
@@ -192,6 +201,8 @@ class Trainer:
         n = eval_rows.shape[0]
         bs = cfg.batch_size
         stop = (n // bs) * bs if cfg.drop_last else n
+        if stop == 0 and n > 0:
+            stop = n  # serve the single partial batch (see epoch_batches)
         all_idx = []
         kept_users = []
         top_k = int(topn[-1])
@@ -228,6 +239,8 @@ class Trainer:
         n = len(input_csrs[0])
         bs = cfg.batch_size
         stop = (n // bs) * bs if cfg.drop_last else n
+        if stop == 0 and n > 0:
+            stop = n  # serve the single partial batch (see epoch_batches)
         acc = MetricAccumulator(topn)
         top_k = int(topn[-1])
 

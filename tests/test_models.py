@@ -115,3 +115,46 @@ def test_noise_type_ablation_zeroes_closs():
     _, closs = model.apply(params, x, t, x_U, index=index, graph=graph,
                            rcloss=True, train=False, rng=None)
     assert float(closs) == 0.0
+
+
+def test_lightgcn_backbone_propagates_over_train_graph(rng):
+    """The link filter must use embeddings propagated over the train graph
+    (reference predict_link over e_f, DNN.py:1776-1784), and those tables must
+    be excluded from optimization (frozen_* mask)."""
+    import scipy.sparse as sp
+    from gdmcf_tpu.train.state import make_optimizer, _trainable_mask
+
+    train = sp.csr_matrix((rng.random((N_USER, N_ITEM)) < 0.3).astype(np.float32))
+    cfg = Config(backbone="lightGCN", dims=[16], emb_size=10, steps=5)
+    from gdmcf_tpu.models.registry import build_model as bm
+    with_graph = bm(cfg, N_USER, N_ITEM, train_csr=train)
+    without = bm(cfg, N_USER, N_ITEM)
+    p1 = with_graph.init(jax.random.PRNGKey(0))
+    p0 = without.init(jax.random.PRNGKey(0))
+    # propagation changes the frozen tables
+    assert not np.allclose(np.asarray(p1["frozen_lgn_user"]),
+                           np.asarray(p0["frozen_lgn_user"]))
+    # the optimizer mask excludes frozen_* and includes everything else
+    mask = _trainable_mask(p1)
+    assert mask["frozen_lgn_user"] is False
+    assert mask["frozen_lgn_item"] is False
+    assert mask["emb_layer"]["w"] is True
+    # forward works and is finite
+    x, t, x_U, index, graph = make_batch(jax.random.PRNGKey(1), "lightGCN")
+    out, _ = with_graph.apply(p1, x, t, x_U, index=index, graph=graph,
+                              train=False, rng=None)
+    assert out.shape == (B, N_ITEM) and bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_frozen_params_survive_adamw_with_weight_decay():
+    import optax
+    from gdmcf_tpu.train.state import make_optimizer
+    params = {"w": jnp.ones((4,)), "frozen_c": jnp.ones((4,)) * 7.0}
+    tx = make_optimizer(lr=0.1, weight_decay=0.1)
+    opt_state = tx.init(params)
+    grads = {"w": jnp.ones((4,)), "frozen_c": jnp.zeros((4,))}
+    updates, _ = tx.update(grads, opt_state, params)
+    new = optax.apply_updates(params, updates)
+    np.testing.assert_array_equal(np.asarray(new["frozen_c"]),
+                                  np.asarray(params["frozen_c"]))
+    assert not np.allclose(np.asarray(new["w"]), np.asarray(params["w"]))
