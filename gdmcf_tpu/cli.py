@@ -12,8 +12,6 @@ import sys
 import time
 from datetime import datetime
 
-import numpy as np
-
 # note: GDMCF_DEVICE=cpu is honored at package import (gdmcf_tpu/__init__.py)
 
 from gdmcf_tpu.config import Config, parse_args

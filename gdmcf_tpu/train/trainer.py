@@ -19,7 +19,6 @@ history masking, and top-k on device); the host loop only moves batches.
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Optional
 
 import jax
@@ -28,8 +27,8 @@ import numpy as np
 
 from gdmcf_tpu.config import Config
 from gdmcf_tpu.data.loader import DiffusionDataset, epoch_batches
-from gdmcf_tpu.diffusion.engine import Diffusion, LtState
-from gdmcf_tpu.models.registry import build_model, needs_index
+from gdmcf_tpu.diffusion.engine import Diffusion
+from gdmcf_tpu.models.registry import build_model
 from gdmcf_tpu.ops.metrics import compute_topn_accuracy, print_results
 from gdmcf_tpu.train.state import TrainState, create_train_state, make_optimizer, param_count
 
