@@ -113,3 +113,25 @@ def test_eval_protocol_uses_train_rows_as_input(tmp_path):
     pred = np.asarray(pred)
     for u in range(16):
         assert not rows[u][pred[u]].any(), "train history leaked into top-k"
+
+
+def test_tst_w_val_protocol(tmp_path):
+    """tst_w_val=True evaluates test with train+valid as input and mask
+    (ref main.py:174-177, 355-356)."""
+    from gdmcf_tpu.data.loader import data_load, generate_synthetic_dataset
+    paths = generate_synthetic_dataset(str(tmp_path / "twv"), n_user=48,
+                                       n_item=32, avg_degree=8, seed=21)
+    train, valid, test, n_user, n_item = data_load(*paths)
+    cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[12], emb_size=10,
+                 steps=5, noise_scale=0.01, batch_size=16, epochs=2,
+                 eval_every=2, topN=[5], lr=1e-3, debug=True,
+                 sampling_steps=0, tst_w_val=True)
+    trainer = Trainer(cfg, n_user, n_item)
+    logs = []
+    state, best = trainer.fit(train, valid, test, log=logs.append)
+    assert best is not None and all(0 <= v <= 1 for v in best[1])
+    # streaming path agrees under tst_w_val too
+    cfg2 = Config(**{**cfg.to_dict(), "host_dense": False})
+    trainer2 = Trainer(cfg2, n_user, n_item)
+    _, best2 = trainer2.fit(train, valid, test, log=logs.append)
+    assert best == best2
