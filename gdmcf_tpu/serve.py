@@ -1,0 +1,130 @@
+"""Serving: checkpoint -> warm jitted recommender with fixed-shape batching.
+
+The reference has no serving story (training-script only); this provides the
+production path: load a Checkpointer state, compile the fused
+reverse-diffusion + history-mask + top-k program once at a fixed batch shape,
+and answer arbitrary-size user queries by padding into that shape (static
+shapes keep every request on the cached executable — no recompiles).
+
+    from gdmcf_tpu.serve import Recommender
+    rec = Recommender.from_checkpoint(cfg, ckpt_dir, train_csr)
+    items, scores = rec.recommend(user_ids=[3, 17, 42], k=20)
+
+CLI demo:  python -m gdmcf_tpu.serve -c configs/yelpOneEmbGcn.yaml \
+               --ckpt_dir ./ckpt --data_path ./Datasets/yelp_clean/
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gdmcf_tpu.config import Config
+from gdmcf_tpu.data.native import NativeCSR
+from gdmcf_tpu.train.trainer import Trainer
+
+
+class Recommender:
+    def __init__(self, trainer: Trainer, params, history: NativeCSR,
+                 serve_batch: int = 256):
+        self.trainer = trainer
+        self.params = params
+        self.history = history
+        self.serve_batch = serve_batch
+        self._key = jax.random.PRNGKey(trainer.cfg.random_seed + 777)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_checkpoint(cls, cfg: Config, ckpt_dir: str, train_csr,
+                        serve_batch: int = 256) -> "Recommender":
+        from gdmcf_tpu.train.checkpoint import Checkpointer
+
+        history = NativeCSR.from_scipy(train_csr)
+        trainer = Trainer(cfg, history.n_user, history.n_item,
+                          train_csr=train_csr)
+        template = trainer.init_state()
+        state = Checkpointer(ckpt_dir).restore(template)
+        return cls(trainer, state.params, history, serve_batch)
+
+    @classmethod
+    def from_state(cls, trainer: Trainer, state, train_csr,
+                   serve_batch: int = 256) -> "Recommender":
+        return cls(trainer, state.params, NativeCSR.from_scipy(train_csr),
+                   serve_batch)
+
+    # ------------------------------------------------------------------
+    def warmup(self) -> None:
+        """Compile the serving program ahead of traffic."""
+        self.recommend(list(range(min(2, self.history.n_user))), k=10)
+
+    def recommend(self, user_ids: Sequence[int], k: int = 20,
+                  exclude_history: bool = True
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k item ids (+ the full catalog rank source scores are on
+        device only). Requests of any size are served by padding to the
+        fixed ``serve_batch`` shape; returns ([n, k] items, [n] user_ids)."""
+        cfg = self.trainer.cfg
+        user_ids = np.asarray(user_ids, dtype=np.int32)
+        results = []
+        for start in range(0, len(user_ids), self.serve_batch):
+            chunk = user_ids[start:start + self.serve_batch]
+            pad = self.serve_batch - len(chunk)
+            padded = np.concatenate([chunk, np.zeros(pad, np.int32)])
+            rows = self.history.gather(padded)
+            mask = rows if exclude_history else np.zeros_like(rows)
+            self._key, sub = jax.random.split(self._key)
+            idx = self.trainer._eval_step(
+                self.params, jnp.asarray(rows), jnp.asarray(padded),
+                jnp.asarray(mask), sub,
+                sampling_steps=cfg.sampling_steps, top_k=k)
+            results.append(np.asarray(idx)[: len(chunk)])
+        return np.concatenate(results, axis=0), user_ids
+
+
+def main(argv=None):
+    import argparse
+    import os
+    import time
+
+    from gdmcf_tpu.config import parse_args
+    from gdmcf_tpu.data.loader import data_load
+
+    import sys
+    args = argv if argv is not None else sys.argv[1:]
+    # reuse the training flag parser plus serving extras
+    serve_flags = argparse.ArgumentParser(add_help=False)
+    serve_flags.add_argument("--ckpt_dir_serve", default=None)
+    serve_flags.add_argument("--k", type=int, default=20)
+    serve_flags.add_argument("--users", type=str, default="0,1,2,3")
+    ns, rest = serve_flags.parse_known_args(args)
+    cfg = parse_args(rest)
+
+    train, valid, test, n_user, n_item = data_load(
+        os.path.join(cfg.data_path, "train_list.npy"),
+        os.path.join(cfg.data_path, "valid_list.npy"),
+        os.path.join(cfg.data_path, "test_list.npy"))
+
+    ckpt = ns.ckpt_dir_serve or cfg.ckpt_dir
+    if ckpt and os.path.isdir(ckpt):
+        rec = Recommender.from_checkpoint(cfg, ckpt, train)
+        print(f"loaded checkpoint from {ckpt}")
+    else:
+        trainer = Trainer(cfg, n_user, n_item, train_csr=train)
+        rec = Recommender.from_state(trainer, trainer.init_state(), train)
+        print("no checkpoint; serving from fresh init (demo mode)")
+
+    rec.warmup()
+    users = [int(u) for u in ns.users.split(",")]
+    t0 = time.perf_counter()
+    items, uids = rec.recommend(users, k=ns.k)
+    dt = (time.perf_counter() - t0) * 1000
+    for u, row in zip(uids, items):
+        print(f"user {u}: top-{ns.k} -> {row.tolist()}")
+    print(f"latency: {dt:.1f} ms for {len(users)} users")
+
+
+if __name__ == "__main__":
+    main()
