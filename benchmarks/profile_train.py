@@ -54,14 +54,7 @@ def main():
     lt = LtState.create(cfg.steps)
     key = jax.random.PRNGKey(0)
 
-    # 1. full production step
-    def full(carry):
-        st = carry
-        st, loss = tr._train_step(st, x, idx)
-        return st, loss
-
-    ms_full = chunk_time(full, state)
-    print(f"full train step:        {ms_full:7.2f} ms", flush=True)
+    # (the full production step runs LAST: its donation consumes the state)
 
     # 2. forward-only loss (key threaded so calls differ)
     @jax.jit
@@ -117,6 +110,15 @@ def main():
 
     ms_model = chunk_time(model_fwd, key)
     print(f"model fwd (train mode): {ms_model:7.2f} ms", flush=True)
+
+    # 1. full production step (donates the state; must be last)
+    def full(carry):
+        st = carry
+        st, loss = tr._train_step(st, x, idx)
+        return st, loss
+
+    ms_full = chunk_time(full, state)
+    print(f"full train step:        {ms_full:7.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
