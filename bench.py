@@ -31,42 +31,50 @@ N_USER, N_ITEM = 5949, 2810
 
 
 def measure(batch=1024, iters=30, warmup=5, seed=0, rng_impl="threefry2x32",
-            sync_every=10):
-    """Steady-state training throughput with VALUE fetches every
-    ``sync_every`` steps. A purely-async loop with one final block measures
-    dispatch, not compute, on relayed/dev backends (repeated identical calls
-    can be elided); forcing a scalar fetch per chunk guarantees the chain
-    executed. The measured fetch round-trip is subtracted."""
+            steps_per_call=10):
+    """Steady-state training throughput. Methodology for relayed/dev
+    backends where async timing lies (block_until_ready is a no-op and
+    repeated identical calls can be elided):
+
+    - K optimizer steps are FUSED into one program (lax.scan — identical
+      math to K sequential steps, tested), so each ~2.5 ms relay dispatch
+      covers K steps instead of one;
+    - a scalar VALUE fetch after every call forces the chain to execute;
+    - the measured fetch round-trip is subtracted.
+    """
     cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[1000], emb_size=10,
                  steps=5, noise_scale=0.01, noise_min=0.001, noise_max=0.01,
                  batch_size=batch, lr=1e-5, rng_impl=rng_impl,
-                 sampling_steps=0)
+                 sampling_steps=0, train_steps_per_call=steps_per_call)
     trainer = Trainer(cfg, n_user=N_USER, n_item=N_ITEM)
     state = trainer.init_state()
     rng = np.random.default_rng(seed)
     x = jnp.asarray((rng.random((batch, N_ITEM)) < 0.01).astype(np.float32))
     idx = jnp.asarray(rng.permutation(N_USER)[:batch].astype(np.int32))
+    k = max(steps_per_call, 1)
+    xs = jnp.broadcast_to(x, (k,) + x.shape)
+    iis = jnp.broadcast_to(idx, (k,) + idx.shape)
 
-    for _ in range(warmup):
-        state, loss = trainer._train_step(state, x, idx)
-    assert np.isfinite(float(loss)), "training diverged during warmup"
+    for _ in range(max(warmup // k, 1)):
+        state, losses = trainer._train_multi(state, xs, iis)
+    assert np.isfinite(float(losses.sum())), "training diverged during warmup"
 
     # estimate the value-fetch round-trip on an already-materialized scalar
+    s = losses.sum()
     t0 = time.perf_counter()
     for _ in range(5):
-        float(loss)
+        float(s)
     rtt = (time.perf_counter() - t0) / 5
 
-    n_chunks = max(iters // sync_every, 1)
+    n_calls = max(iters // k, 1)
     t0 = time.perf_counter()
-    for _ in range(n_chunks):
-        for _ in range(sync_every):
-            state, loss = trainer._train_step(state, x, idx)
-        lv = float(loss)  # forces the whole chunk's chain to execute
+    for _ in range(n_calls):
+        state, losses = trainer._train_multi(state, xs, iis)
+        lv = float(losses.sum())  # forces execution
     wall = time.perf_counter() - t0
     assert np.isfinite(lv), "training diverged during measurement"
-    compute = max(wall - n_chunks * rtt, 1e-9)
-    return batch * n_chunks * sync_every / compute
+    compute = max(wall - n_calls * rtt, 1e-9)
+    return batch * n_calls * k / compute
 
 
 def measure_infer(batch=1024, iters=20, warmup=3, seed=0, top_k=100):
@@ -112,6 +120,7 @@ def main():
     ap.add_argument("--measure-baseline", action="store_true")
     ap.add_argument("--rng", default="threefry2x32",
                     choices=["threefry2x32", "rbg"])
+    ap.add_argument("--steps-per-call", type=int, default=10)
     args = ap.parse_args()
 
     if args.metric == "infer":
@@ -129,7 +138,8 @@ def main():
         from benchmarks.torch_cpu_baseline import run as run_baseline
         baseline = run_baseline(batch=args.batch, iters=10)
 
-    eps = measure(batch=args.batch, iters=args.iters, rng_impl=args.rng)
+    eps = measure(batch=args.batch, iters=args.iters, rng_impl=args.rng,
+                  steps_per_call=args.steps_per_call)
     print(json.dumps({
         "metric": "train_examples_per_s",
         "value": round(eps, 2),

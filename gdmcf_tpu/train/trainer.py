@@ -69,6 +69,7 @@ class Trainer:
                 devices = jax.devices("cpu")
             self.mesh = make_mesh(cfg.mesh_dp, cfg.mesh_mp, devices)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._train_multi = jax.jit(self._train_multi_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl,
                                   static_argnames=("sampling_steps", "top_k"))
 
@@ -125,6 +126,19 @@ class Trainer:
                                opt_state=new_opt, lt=new_lt, key=key)
         return new_state, loss
 
+    def _train_multi_impl(self, state: TrainState, xs: jnp.ndarray,
+                          idxs: jnp.ndarray):
+        """K fused optimizer steps (xs: [K, B, n], idxs: [K, B]) — exactly
+        the math of K sequential _train_step calls (same RNG split chain),
+        in one compiled program."""
+
+        def body(st, inp):
+            x, idx = inp
+            return self._train_step_impl(st, x, idx)
+
+        state, losses = jax.lax.scan(body, state, (xs, idxs))
+        return state, losses
+
     @staticmethod
     def _to_block_onehot(x: jnp.ndarray) -> jnp.ndarray:
         """OneHotMatrix==1 mode: [B, n] adjacency -> [B+n, B+n] block matrix
@@ -138,15 +152,30 @@ class Trainer:
         # losses stay on device until the epoch ends: a float() per batch
         # would synchronize every step (25 ms dispatch RTT on the dev tunnel)
         losses = []
+        k = max(self.cfg.train_steps_per_call, 1)
+        pending = []
         for x, idx in epoch_batches(dataset, self.cfg.batch_size, rng,
                                     shuffle=self.cfg.shuffle,
                                     drop_last=self.cfg.drop_last):
             x = jnp.asarray(x)
             if self.cfg.OneHotMatrix == 1:
                 x = self._to_block_onehot(x)
-            x, idx = self._put_batch(x, idx)
-            state, loss = self._train_step(state, x, idx)
-            losses.append(loss)
+            pending.append(self._put_batch(x, idx))
+            if k > 1 and len(pending) == k:
+                xs = jnp.stack([p[0] for p in pending])
+                iis = jnp.stack([p[1] for p in pending])
+                pending.clear()
+                state, ls = self._train_multi(state, xs, iis)
+                losses.append(ls.sum())
+            elif k == 1:
+                (x, idx), = pending
+                pending.clear()
+                state, l = self._train_step(state, x, idx)
+                losses.append(l)
+        # remainder (fewer than k batches) runs as single steps
+        for x, idx in pending:
+            state, l = self._train_step(state, x, idx)
+            losses.append(l)
         total_loss = float(jnp.stack(losses).sum()) if losses else 0.0
         return state, total_loss
 

@@ -135,3 +135,59 @@ def test_tst_w_val_protocol(tmp_path):
     trainer2 = Trainer(cfg2, n_user, n_item)
     _, best2 = trainer2.fit(train, valid, test, log=logs.append)
     assert best == best2
+
+
+def test_fused_multi_step_equals_sequential(tmp_path):
+    """K fused optimizer steps (lax.scan) == K sequential steps, exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    paths = generate_synthetic_dataset(str(tmp_path / "ms"), n_user=64,
+                                       n_item=32, avg_degree=8, seed=41)
+    train, valid, test, n_user, n_item = data_load(*paths)
+    cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[12], emb_size=10,
+                 steps=5, noise_scale=0.01, batch_size=16, lr=1e-3,
+                 sampling_steps=0)
+    trainer = Trainer(cfg, n_user, n_item)
+    rows = np.asarray(train.todense(), dtype=np.float32)
+    xs = jnp.asarray(np.stack([rows[0:16], rows[16:32], rows[32:48]]))
+    iis = jnp.stack([jnp.arange(0, 16), jnp.arange(16, 32),
+                     jnp.arange(32, 48)]).astype(jnp.int32)
+
+    s_seq = trainer.init_state()
+    for i in range(3):
+        s_seq, _ = trainer._train_step(s_seq, xs[i], iis[i])
+
+    s_fused = trainer.init_state()
+    s_fused, losses = trainer._train_multi(s_fused, xs, iis)
+    assert losses.shape == (3,)
+    assert int(s_fused.step) == int(s_seq.step) == 3
+    for a, b in zip(jax.tree_util.tree_leaves(s_seq.params),
+                    jax.tree_util.tree_leaves(s_fused.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_train_epoch_with_steps_per_call(tmp_path):
+    """train_epoch with train_steps_per_call>1 covers all batches incl. the
+    remainder and matches the single-step path's final step count."""
+    paths = generate_synthetic_dataset(str(tmp_path / "ms2"), n_user=80,
+                                       n_item=32, avg_degree=8, seed=42)
+    train, valid, test, n_user, n_item = data_load(*paths)
+
+    def run(k):
+        cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[12], emb_size=10,
+                     steps=5, noise_scale=0.01, batch_size=16, lr=1e-3,
+                     sampling_steps=0, train_steps_per_call=k)
+        trainer = Trainer(cfg, n_user, n_item)
+        state = trainer.init_state()
+        state, loss = trainer.train_epoch(
+            state, __import__("gdmcf_tpu.data.loader", fromlist=["x"]
+                              ).DiffusionDataset(train),
+            np.random.default_rng(0))
+        return int(state.step), loss
+
+    steps1, loss1 = run(1)
+    steps2, loss2 = run(2)  # 5 batches -> 2 fused pairs + 1 remainder
+    assert steps1 == steps2 == 80 // 16
+    np.testing.assert_allclose(loss1, loss2, rtol=1e-5)
