@@ -114,13 +114,13 @@ def measure_infer(batch=1024, iters=20, warmup=3, seed=0, top_k=100):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--metric", choices=["train", "infer"], default="train")
     ap.add_argument("--measure-baseline", action="store_true")
     ap.add_argument("--rng", default="threefry2x32",
                     choices=["threefry2x32", "rbg"])
-    ap.add_argument("--steps-per-call", type=int, default=10)
+    ap.add_argument("--steps-per-call", type=int, default=20)
     args = ap.parse_args()
 
     if args.metric == "infer":

@@ -43,11 +43,11 @@ def measure_mesh(dp: int, mp: int, per_chip_batch: int, n_item: int,
 
     for _ in range(warmup):
         state, loss = trainer._train_step(state, xs, idxs)
-    jax.block_until_ready(loss)
+    float(loss)  # value fetch: block_until_ready may not sync on dev relays
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss = trainer._train_step(state, xs, idxs)
-    jax.block_until_ready(loss)
+    float(loss)  # the state chain forces all iters to execute
     return batch * iters / (time.perf_counter() - t0)
 
 

@@ -226,20 +226,11 @@ class Trainer:
         cfg = self.cfg
         if key is None:
             key = jax.random.PRNGKey(cfg.random_seed + 12345)
-        n = eval_rows.shape[0]
-        bs = cfg.batch_size
-        stop = (n // bs) * bs if cfg.drop_last else n
-        if stop == 0 and n > 0:
-            stop = n  # serve the single partial batch (see epoch_batches)
+        cached = self._prepare_eval_batches(eval_rows, mask_matrix)
         all_idx = []
         kept_users = []
         top_k = int(topn[-1])
-        for start in range(0, stop, bs):
-            rows = jnp.asarray(eval_rows[start:start + bs])
-            uids = jnp.arange(start, start + rows.shape[0], dtype=jnp.int32)
-            mask = jnp.asarray(mask_matrix[start:start + rows.shape[0]])
-            rows, uids = self._put_batch(rows, uids)
-            mask, _ = self._put_batch(mask, uids)
+        for start, rows, uids, mask in cached:
             key, sub = jax.random.split(key)
             idx = self._eval_step(state.params, rows, uids, mask, sub,
                                   sampling_steps=cfg.sampling_steps,
@@ -249,6 +240,37 @@ class Trainer:
         pred = np.concatenate(all_idx, axis=0)
         users = np.concatenate(kept_users)
         return compute_topn_accuracy(gt_matrix[users], pred, topn)
+
+    def _prepare_eval_batches(self, eval_rows: np.ndarray,
+                              mask_matrix: np.ndarray):
+        """Device-resident eval batches, cached across eval epochs: the rows
+        and masks are constant during training, so uploading them once saves
+        ~(2 x dataset size) of host->device transfer per eval."""
+        cache_key = (id(eval_rows), id(mask_matrix), eval_rows.shape,
+                     self.cfg.batch_size)
+        cache = getattr(self, "_eval_cache", None)
+        if cache is None:
+            cache = self._eval_cache = {}
+        if cache_key in cache:
+            return cache[cache_key]
+        cfg = self.cfg
+        n = eval_rows.shape[0]
+        bs = cfg.batch_size
+        stop = (n // bs) * bs if cfg.drop_last else n
+        if stop == 0 and n > 0:
+            stop = n  # serve the single partial batch (see epoch_batches)
+        batches = []
+        for start in range(0, stop, bs):
+            rows = jnp.asarray(eval_rows[start:start + bs])
+            uids = jnp.arange(start, start + rows.shape[0], dtype=jnp.int32)
+            mask = jnp.asarray(mask_matrix[start:start + rows.shape[0]])
+            rows, uids = self._put_batch(rows, uids)
+            mask, _ = self._put_batch(mask, uids)
+            batches.append((start, rows, uids, mask))
+        if len(cache) >= 4:  # bound device-memory held by cached splits
+            cache.pop(next(iter(cache)))
+        cache[cache_key] = batches
+        return batches
 
     def evaluate_streaming(self, state: TrainState, input_csrs, gt_csr,
                            mask_csrs, topn, key=None):
