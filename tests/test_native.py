@@ -74,3 +74,29 @@ def test_from_scipy_and_epoch_batches(rng):
     dense = ref.toarray()
     for x, idx in batches:
         np.testing.assert_array_equal(x, dense[idx])
+
+
+def test_numpy_fallback_matches_native(rng, monkeypatch):
+    """The pure-numpy fallback path must agree with the C++ engine."""
+    n_user, n_item = 40, 30
+    edges = random_edges(rng, n_user, n_item, 300)
+    native_csr = NativeCSR.from_edge_list(edges, n_user, n_item)
+    rows = rng.permutation(n_user)[:8].astype(np.int32)
+    batch_native = native_csr.gather(rows)
+    users = rng.integers(0, n_user, 16).astype(np.int32)
+    pos_n, neg_n = native_csr.sample_bpr(users, seed=7)
+
+    monkeypatch.setattr(native, "_ensure_lib", lambda: None)
+    fallback_csr = NativeCSR.from_edge_list(edges, n_user, n_item)
+    np.testing.assert_array_equal(fallback_csr.indptr, native_csr.indptr)
+    np.testing.assert_array_equal(np.sort(fallback_csr.indices),
+                                  np.sort(native_csr.indices))
+    batch_fb = fallback_csr.gather(rows)
+    np.testing.assert_array_equal(batch_fb, batch_native)
+    # BPR fallback: validity (RNG differs from the C++ splitmix64 stream)
+    pos_f, neg_f = fallback_csr.sample_bpr(users, seed=7)
+    dense = np.zeros((n_user, n_item), np.float32)
+    dense[edges[:, 0], edges[:, 1]] = 1.0
+    for u, p, n in zip(users, pos_f, neg_f):
+        if dense[u].sum() > 0:
+            assert dense[u, p] == 1.0 and dense[u, n] == 0.0
