@@ -136,6 +136,8 @@ class Trainer:
             x, idx = inp
             return self._train_step_impl(st, x, idx)
 
+        # measured: partial unroll is a regression here (287k vs 312k
+        # examples/s at k=20) — XLA already keeps the scan carry in place
         state, losses = jax.lax.scan(body, state, (xs, idxs))
         return state, losses
 
