@@ -13,7 +13,7 @@ N_USER, N_ITEM, B = 24, 20, 8
 
 def make_trainer():
     cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[12], emb_size=10,
-                 steps=5, noise_scale=0.01, batch_size=B)
+                 steps=5, noise_scale=0.01, batch_size=B, sampling_steps=0)
     return Trainer(cfg, N_USER, N_ITEM)
 
 
