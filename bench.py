@@ -30,8 +30,8 @@ TORCH_CPU_BASELINE_EPS = 239.5
 N_USER, N_ITEM = 5949, 2810
 
 
-def measure(batch=1024, iters=30, warmup=5, seed=0, rng_impl="threefry2x32",
-            steps_per_call=10):
+def measure(batch=1024, iters=100, warmup=5, seed=0, rng_impl="threefry2x32",
+            steps_per_call=20):
     """Steady-state training throughput. Methodology for relayed/dev
     backends where async timing lies (block_until_ready is a no-op and
     repeated identical calls can be elided):
