@@ -48,3 +48,27 @@ def test_recommend_from_checkpoint_roundtrip(tmp_path):
     items, _ = rec.recommend([1, 2, 3], k=7)
     assert items.shape == (3, 7)
     assert (items >= 0).all() and (items < n_item).all()
+
+
+def test_serve_cli_demo_mode(tmp_path):
+    """python -m gdmcf_tpu.serve end-to-end in a tunnel-free subprocess."""
+    import os
+    import subprocess
+    import sys
+
+    from gdmcf_tpu.data.loader import generate_synthetic_dataset
+
+    data_dir = str(tmp_path / "cli")
+    generate_synthetic_dataset(data_dir, n_user=40, n_item=32, avg_degree=8,
+                               seed=51)
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    out = subprocess.run(
+        [sys.executable, "-m", "gdmcf_tpu.serve",
+         f"--data_path={data_dir}/", "--dataset=sv", "--debug=true",
+         "--dims=[12]", "--steps=5", "--sampling_steps=0",
+         "--batch_size=16", "--users", "0,5", "--k", "4"],
+        env=env, capture_output=True, text=True, timeout=240)
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "user 0: top-4" in out.stdout
+    assert "latency:" in out.stdout

@@ -108,3 +108,14 @@ def test_multihost_helpers_single_host():
     assert multihost.is_main_process()
     multihost.sync_hosts(devices=cpu_devices)  # psum barrier over 8 cpu devs
     mesh = multihost.global_mesh(dp=4, mp=2) if len(jax.devices()) >= 8 else None
+
+
+@pytest.mark.parametrize("n", [2, 4])
+def test_dryrun_smaller_meshes(n):
+    import importlib.util, os
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry2", os.path.join(os.path.dirname(__file__), "..",
+                                     "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(n)
