@@ -31,7 +31,7 @@ N_USER, N_ITEM = 5949, 2810
 
 
 def measure(batch=1024, iters=100, warmup=5, seed=0, rng_impl="threefry2x32",
-            steps_per_call=20):
+            steps_per_call=20, param_dtype="float32"):
     """Steady-state training throughput. Methodology for relayed/dev
     backends where async timing lies (block_until_ready is a no-op and
     repeated identical calls can be elided):
@@ -45,7 +45,8 @@ def measure(batch=1024, iters=100, warmup=5, seed=0, rng_impl="threefry2x32",
     cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[1000], emb_size=10,
                  steps=5, noise_scale=0.01, noise_min=0.001, noise_max=0.01,
                  batch_size=batch, lr=1e-5, rng_impl=rng_impl,
-                 sampling_steps=0, train_steps_per_call=steps_per_call)
+                 sampling_steps=0, train_steps_per_call=steps_per_call,
+                 param_dtype=param_dtype)
     trainer = Trainer(cfg, n_user=N_USER, n_item=N_ITEM)
     state = trainer.init_state()
     rng = np.random.default_rng(seed)
@@ -121,6 +122,8 @@ def main():
     ap.add_argument("--rng", default="threefry2x32",
                     choices=["threefry2x32", "rbg"])
     ap.add_argument("--steps-per-call", type=int, default=20)
+    ap.add_argument("--param-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     args = ap.parse_args()
 
     if args.metric == "infer":
@@ -139,7 +142,8 @@ def main():
         baseline = run_baseline(batch=args.batch, iters=10)
 
     eps = measure(batch=args.batch, iters=args.iters, rng_impl=args.rng,
-                  steps_per_call=args.steps_per_call)
+                  steps_per_call=args.steps_per_call,
+                  param_dtype=args.param_dtype)
     print(json.dumps({
         "metric": "train_examples_per_s",
         "value": round(eps, 2),

@@ -1,9 +1,19 @@
 """Typed configuration for gdmcf_tpu.
 
 Mirrors every flag of the reference CLI (``/root/reference/parse_args_util.py:7-46``)
-with identical names and defaults so the reference's YAML recipes
+with identical names so the reference's YAML recipes
 (``/root/reference/config/*.yaml``) load unchanged, plus TPU-framework extras
 (mesh shape, dtypes, fidelity/quirk switches) that the reference does not have.
+
+Deliberate bare-run default divergences (YAML recipes are unaffected — both
+presets set all three): ``backbone`` defaults to the paper's flagship
+``DNNOneHotEmbeddingGCN`` (reference default ``lightGCN``,
+parse_args_util.py:33), ``OneHotMatrix`` to 2 (reference 1, :34 — 2 is the
+mode both shipped recipes use), ``dataset`` to yelp_clean (reference
+``ml-1m_clean``, :7 — a dataset the reference ships no config or data for;
+its ``data_path`` default already points at yelp_clean, :8). A bare
+``python -m gdmcf_tpu.cli`` therefore trains the documented flagship recipe
+rather than the reference's inconsistent bare-run combination.
 
 The reference uses ``configargparse`` (YAML preset + CLI override). Here the same
 behavior is built from a dataclass + PyYAML + argparse: ``-c file.yaml`` loads the
@@ -90,7 +100,10 @@ class Config:
     # only ever see their own self-loop inside GCNConv; False reproduces that.
     symmetric_gcn: bool = False
     dropout: float = 0.5
-    param_dtype: str = "float32"    # parameter storage dtype
+    # parameter storage dtype: "float32", or "bfloat16" (halved HBM reads of
+    # tables/weights; f32 master weights live in the optimizer state so
+    # lr~1e-5 updates are never lost to bf16 rounding — train/state.py)
+    param_dtype: str = "float32"
     # matmul precision: "bfloat16" -> single fast MXU pass (the measured-fast
     # default), "float32" -> 3-pass f32-equivalent for bit-level comparisons
     compute_dtype: str = "bfloat16"
@@ -138,8 +151,8 @@ class Config:
         # ships that combination and would crash its first eval)
         if self.diffusion_variant not in ("discrete", "legacy", "ablation"):
             raise ValueError(f"unknown diffusion_variant {self.diffusion_variant}")
-        if self.param_dtype != "float32":
-            raise ValueError("param_dtype: only float32 storage is implemented")
+        if self.param_dtype not in ("float32", "bfloat16"):
+            raise ValueError("param_dtype must be float32 or bfloat16")
         if self.compute_dtype not in ("bfloat16", "float32"):
             raise ValueError("compute_dtype must be bfloat16 or float32")
 

@@ -182,7 +182,12 @@ class Diffusion:
     def _alpha_bar_discrete(self, ts: jnp.ndarray, batch_size: int) -> jnp.ndarray:
         if self.fidelity:
             # Reference quirk: alpha_bar := ts / batch_size (ref :775-776).
-            return ts.astype(jnp.float32) / batch_size
+            # Clipped to [0,1]: with full-size batches (the reference's strict
+            # drop_last) ts < steps <= B so the clip is a no-op, but this repo
+            # also serves partial batches, where B < steps would otherwise
+            # yield out-of-range Bernoulli probabilities that jax silently
+            # saturates (changing corruption semantics without warning).
+            return jnp.clip(ts.astype(jnp.float32) / batch_size, 0.0, 1.0)
         return jnp.asarray(self.coeffs.alphas_cumprod)[ts].astype(jnp.float32)
 
     def discrete_p_one(self, alpha_bar: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -220,6 +225,53 @@ class Diffusion:
         c1 = x_binary * s
         c0 = (1.0 - x_binary) * (1.0 - s)
         return jnp.stack([c0, c1], axis=-1)
+
+    # ------------------------------------------------------------------
+    # legacy n-state machinery (ref GaussianDiffusion.apply_noise :226-273)
+    # ------------------------------------------------------------------
+    def legacy_apply_noise(self, key: jax.Array, ts: jnp.ndarray,
+                           x: jnp.ndarray, num_nodes: Optional[int] = None,
+                           x_base: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """The legacy class's n-state discrete corruption, made runnable.
+
+        Reference status (documented decision): ``GaussianDiffusion.apply_noise``
+        is DEAD code — its only call sites are commented out (ref :327 in
+        training_losses, :204 region in p_sample) — and, as written, cannot
+        execute at all: ``get_Qt_bar`` broadcasts ``alpha_bar_t`` expanded to
+        the 2-state ``u_x`` shape [bs,2,2] against ``eye(num_nodes=2810)``
+        (ref :91-108), a shape mismatch that raises for every input. The
+        *intent* is unambiguous from the commented
+        ``nn.Parameter(th.ones(1, num_nodes, num_nodes))`` (ref :88):
+        an n-state uniform transition ``Q̄ = a*I_N + (1-a)*1``.
+
+        This implements that intent in closed form, O(B*N) instead of the
+        reference's O(B*N^2) materialized Q̄:
+          * per occupied cell (b,i), the row-normalized categorical over j is
+            the mixture: pick j=i with probability a/(a+N(1-a)), else uniform
+            over N — sampled exactly without building [B,N,N].
+          * zero cells: the reference's ``multinomial`` would raise on the
+            all-zero row (one more way the path cannot run); here they sample
+            uniform (the a->0 limit).
+          * binarize by the reference's index threshold quirk:
+            ``x_t = sampled_index > randint(0.8*N, N)`` (ref :255-256).
+          * Bernoulli-blend with x_start (p=0.8) or x_base (p=0.99)
+            via ``mix_tensors`` (ref :269-273).
+        """
+        n = x.shape[1] if num_nodes is None else num_nodes
+        a = self._alpha_bar_discrete(ts, x.shape[0])[:, None]  # tsF quirk
+        k_pick, k_unif, k_thresh, k_mix = jax.random.split(key, 4)
+        z = a + n * (1.0 - a)
+        keep = jax.random.bernoulli(k_pick, jnp.broadcast_to(a / z, x.shape))
+        uniform_j = jax.random.randint(k_unif, x.shape, 0, n)
+        own_j = jnp.broadcast_to(jnp.arange(x.shape[1])[None, :], x.shape)
+        sampled = jnp.where(keep, own_j, uniform_j)
+        # zero cells -> uniform (the reference would crash here)
+        sampled = jnp.where(x > 0.5, sampled, uniform_j)
+        thresh = jax.random.randint(k_thresh, (), int(n * 0.8), n + 1)
+        x_t = (sampled > thresh).astype(x.dtype)
+        if x_base is None:
+            return mix_tensors(k_mix, x, x_t, 0.8)
+        return mix_tensors(k_mix, x_base, x_t, 0.99)
 
     # ------------------------------------------------------------------
     # timestep importance sampling (ref sample_timesteps :959-986)

@@ -68,6 +68,32 @@ def _split(rng, n):
     return list(jax.random.split(rng, n)) if rng is not None else [None] * n
 
 
+def _make_user_lookup(mesh, user_num: int):
+    """User-table row gather, mesh-aware (SURVEY.md §2.3 row 3).
+
+    Without a model-parallel mesh: plain replicated gather. With mesh_mp > 1
+    and an evenly mp-shardable table: the shard_map lookup from
+    parallel/embed.py — each chip gathers only rows it owns and [B, D] is all
+    that crosses the ICI, so a 10M-user table is never replicated or
+    all-gathered. Falls back to the plain gather (and whatever GSPMD decides)
+    when the table rows don't divide the mesh axis.
+    """
+    mp = mesh.shape.get("mp", 1) if mesh is not None else 1
+    if mesh is None or mp <= 1 or user_num % mp != 0:
+        return lambda table, index: table[index]
+
+    from gdmcf_tpu.parallel.embed import sharded_embedding_lookup
+
+    dp = mesh.shape.get("dp", 1)
+
+    def lookup(table, index):
+        batch_axis = "dp" if dp > 1 and index.shape[0] % dp == 0 else None
+        return sharded_embedding_lookup(mesh, table, index,
+                                        batch_axis=batch_axis)
+
+    return lookup
+
+
 # ---------------------------------------------------------------------------
 # DNN — plain MLP denoiser
 # ---------------------------------------------------------------------------
@@ -246,10 +272,13 @@ def dnn_one_hot(in_dims, out_dims, emb_size, norm=False,
 
 def dnn_one_hot_embedding(in_dims, out_dims, emb_size, item_num, user_num,
                           norm=False, dropout_rate=0.5,
-                          conti: bool = False) -> ModelDef:
+                          conti: bool = False,
+                          cosine_eps: float = 0.0,
+                          mesh=None) -> ModelDef:
     """DNNOneHotEmbedding (ref :510-681); conti variant (ref :683-853) swaps
     the continuous tower out of the fused vector: hc = [h_U || h_U || user]."""
     assert out_dims[0] == in_dims[-1]
+    user_lookup = _make_user_lookup(mesh, user_num)
     in_t = _tower_dims(in_dims, emb_size)
     in_dims2 = [in_dims[0] * 2] + list(in_dims[1:])
     in_t2 = _tower_dims(in_dims2, emb_size)
@@ -278,10 +307,10 @@ def dnn_one_hot_embedding(in_dims, out_dims, emb_size, item_num, user_num,
         h = mlp_tanh(p["in_layers"], jnp.concatenate([x, emb], axis=-1))
         h_U = mlp_tanh(p["in_layers2"], jnp.concatenate([x_U, emb], axis=-1))
         closs = nt_xent_loss(h, h_U) if rcloss else None
-        user_vecs = p["embedding_user"][index]
+        user_vecs = user_lookup(p["embedding_user"], index)
         first = h_U if conti else h
         hc = jnp.concatenate([first, h_U, user_vecs], axis=1)
-        scores = cosine_scores(hc, p["embedding_item"])
+        scores = cosine_scores(hc, p["embedding_item"], eps=cosine_eps)
         return scores, closs
 
     return ModelDef(init, apply, needs_onehot=True, needs_index=True)
@@ -291,7 +320,9 @@ def dnn_one_hot_embedding_gcn(in_dims, out_dims, emb_size, item_num, user_num,
                               norm=False, dropout_rate=0.5,
                               gcn_layer_num: int = 2, noise_type: int = 0,
                               symmetric_gcn: bool = False,
-                              conti: bool = False) -> ModelDef:
+                              conti: bool = False,
+                              cosine_eps: float = 0.0,
+                              mesh=None) -> ModelDef:
     """The flagship backbone, DNNOneHotEmbeddingGCN (ref :1105-1327).
 
     Towers -> NT-Xent -> fuse with user table -> dense bipartite GCN over the
@@ -306,6 +337,7 @@ def dnn_one_hot_embedding_gcn(in_dims, out_dims, emb_size, item_num, user_num,
     d_user = in_t[-1]
     d_item = in_t[-1] + d_user + in_t2[-1]
     gcn_hidden = 512
+    user_lookup = _make_user_lookup(mesh, user_num)
 
     def init(key):
         k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
@@ -351,7 +383,7 @@ def dnn_one_hot_embedding_gcn(in_dims, out_dims, emb_size, item_num, user_num,
             if not conti and noise_type != 0:
                 closs = closs * 0.0
 
-        user_vecs = p["embedding_user"][index]
+        user_vecs = user_lookup(p["embedding_user"], index)
         item_table = p["embedding_item"]
         if conti:
             hc = jnp.concatenate([h_U, h_U, user_vecs], axis=1)
@@ -363,7 +395,7 @@ def dnn_one_hot_embedding_gcn(in_dims, out_dims, emb_size, item_num, user_num,
                 p["gcn"], hc, item_table, g, num_layers=gcn_layer_num,
                 symmetric=symmetric_gcn)
             hc = hc * p["sumW"] + gcn_u * (1.0 - p["sumW"])
-        scores = cosine_scores(hc, item_table)
+        scores = cosine_scores(hc, item_table, eps=cosine_eps)
         return scores, closs
 
     return ModelDef(init, apply, needs_onehot=True, needs_index=True)
@@ -474,7 +506,8 @@ def dnn_transformer(in_dims, out_dims, emb_size, norm=False,
 
 def dnn_lightgcn(in_dims, out_dims, emb_size, n_user, n_item,
                  norm=False, dropout_rate=0.5, lgn_dim: int = 64,
-                 lgn_layers: int = 2, norm_adj: Optional[tuple] = None) -> ModelDef:
+                 lgn_layers: int = 2, norm_adj: Optional[tuple] = None,
+                 sparse_adj=None) -> ModelDef:
     """DNNlightGCN (ref :1709-1804), dense reformulation.
 
     Reference flow per batch: adjacency -> edge list -> LightGCN.predict_link
@@ -492,6 +525,13 @@ def dnn_lightgcn(in_dims, out_dims, emb_size, n_user, n_item,
     propagated tables live in params under "frozen_*" keys, which the
     optimizer masks out (no weight-decay erosion). Without ``norm_adj`` the
     raw init embeddings are used (0 propagation layers).
+
+    ``sparse_adj``: large-graph alternative to ``norm_adj`` — a
+    ``(n_bs, nt_bs)`` BlockSparse pair from
+    ``models/lightgcn.normalized_bipartite_sparse``; the init-time
+    propagation then runs on the Pallas SpMM and nothing
+    [n_user, n_item]-dense materializes (the reference equivalent is
+    ``torch.sparse.mm``, /root/reference/lightGCN.py:176-194).
     """
     assert out_dims[0] == in_dims[-1]
     in_t = _tower_dims(in_dims, emb_size)
@@ -500,7 +540,17 @@ def dnn_lightgcn(in_dims, out_dims, emb_size, n_user, n_item,
         k1, k2, k3, k4 = jax.random.split(key, 4)
         emb = xavier_uniform(k4, (n_user + n_item, lgn_dim))
         e_user, e_item = emb[:n_user], emb[n_user:]
-        if norm_adj is not None:
+        if sparse_adj is not None:
+            from gdmcf_tpu.models.lightgcn import propagate_sparse
+            from gdmcf_tpu.ops.spmm import (block_sparse_arrays,
+                                            block_sparse_meta)
+            n_bs, nt_bs = sparse_adj[0], sparse_adj[1]
+            interp = sparse_adj[2] if len(sparse_adj) > 2 else False
+            e_user, e_item = propagate_sparse(
+                e_user, e_item, block_sparse_meta(n_bs),
+                block_sparse_meta(nt_bs), block_sparse_arrays(n_bs),
+                block_sparse_arrays(nt_bs), lgn_layers, interpret=interp)
+        elif norm_adj is not None:
             r_ui = jnp.asarray(norm_adj[0])
             us, its = [e_user], [e_item]
             for _ in range(lgn_layers):

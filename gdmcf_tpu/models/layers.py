@@ -107,15 +107,21 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndar
     return x / norm
 
 
-def cosine_scores(user_vecs: jnp.ndarray, item_table: jnp.ndarray) -> jnp.ndarray:
+def cosine_scores(user_vecs: jnp.ndarray, item_table: jnp.ndarray,
+                  eps: float = 0.0) -> jnp.ndarray:
     """Full-catalog cosine similarity head (ref cosine_similarity_cuda,
     DNN.py:1304-1327): one [B,D] @ [D,N] matmul on the MXU, normalized.
 
-    No epsilon in the denominator — bit-faithful to the reference.
+    ``eps=0.0`` (default) is bit-faithful to the reference: no denominator
+    guard, so a zero-norm user vector or item row NaNs its scores. The
+    corrected mode (``Config.fidelity=False``) passes a small eps.
     """
     u_norm = jnp.linalg.norm(user_vecs, axis=1, keepdims=True)
     i_norm = jnp.linalg.norm(item_table, axis=1)
-    return (user_vecs @ item_table.T) / (u_norm * i_norm[None, :])
+    denom = u_norm * i_norm[None, :]
+    if eps:
+        denom = jnp.maximum(denom, eps)
+    return (user_vecs @ item_table.T) / denom
 
 
 def nt_xent_loss(z1: jnp.ndarray, z2: jnp.ndarray, temperature: float = 0.1,
@@ -130,7 +136,11 @@ def nt_xent_loss(z1: jnp.ndarray, z2: jnp.ndarray, temperature: float = 0.1,
     p = jax.nn.softmax(sim, axis=-1)
     diag = jnp.diagonal(p)
     neg_sum = p.sum(axis=1) - diag
-    # epsilon also in the denominator (the reference guards only the
-    # numerator, ref DNN.py:502): when the positive saturates the softmax,
-    # neg_sum underflows to 0 and the loss - then the whole run - goes inf/NaN
+    # ALWAYS-ON REPAIR (documented divergence, applies even under
+    # fidelity=True; see docs/PARITY.md "Always-on repairs"): epsilon also in
+    # the denominator — the reference guards only the numerator (ref
+    # DNN.py:502), so when the positive saturates the softmax, neg_sum
+    # underflows to 0 and the loss — then the whole run — goes inf/NaN
+    # (reproduced within ~50 steps on random data). Not gated behind
+    # fidelity because a training run that NaNs reproduces nothing.
     return -jnp.log((diag + eps) / (neg_sum + eps)).mean()

@@ -60,6 +60,69 @@ def propagate(e_user: jnp.ndarray, e_item: jnp.ndarray, n_mat: jnp.ndarray,
     return (sum(us) / (n_layers + 1), sum(its) / (n_layers + 1))
 
 
+def normalized_bipartite_sparse(train_csr: sp.spmatrix, br: int = 128,
+                                bc: int = 128, eps: float = 1e-9,
+                                max_bytes: int = 8 << 30,
+                                degree_sort: bool = False):
+    """O(nnz) sparse N = D_u^{-1/2} R D_i^{-1/2} as a (N, N^T) block pair.
+
+    The scale path of ``normalized_bipartite_blocks``: nothing
+    [n_user, n_item]-dense ever materializes (at the 10M x 1M BASELINE target
+    the dense matrix is 40 TB). Replaces the reference's
+    ``torch.sparse.mm`` propagation operand (ref lightGCN.py:145-178).
+
+    ``degree_sort=True`` additionally returns (row_perm, col_perm) and builds
+    the blocks over the permuted graph — power-law graphs need this for tile
+    fill (see ops/spmm.degree_sort_permutation); embeddings must be permuted
+    to match and un-permuted afterwards.
+    """
+    from gdmcf_tpu.ops.spmm import degree_sort_permutation, to_block_sparse
+
+    r = train_csr.tocsr().astype(np.float32)
+    deg_u = np.asarray(r.sum(axis=1)).ravel()
+    deg_i = np.asarray(r.sum(axis=0)).ravel()
+    du = np.power(deg_u + eps, -0.5)
+    di = np.power(deg_i + eps, -0.5)
+    du[np.isinf(du)] = 0.0
+    di[np.isinf(di)] = 0.0
+    n = sp.diags(du) @ r @ sp.diags(di)
+    perms = None
+    if degree_sort:
+        row_perm, col_perm = degree_sort_permutation(n)
+        n = n.tocsr()[row_perm][:, col_perm]
+        perms = (row_perm, col_perm)
+    n_bs = to_block_sparse(n, br, bc, max_bytes)
+    nt_bs = to_block_sparse(n.T.tocsr(), bc, br, max_bytes)
+    if degree_sort:
+        return n_bs, nt_bs, perms
+    return n_bs, nt_bs
+
+
+def propagate_sparse(e_user: jnp.ndarray, e_item: jnp.ndarray,
+                     n_meta, nt_meta, n_arrays, nt_arrays,
+                     n_layers: int, interpret: bool = False
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``propagate`` on the Pallas block-sparse kernel (differentiable).
+
+    n/nt: metadata + arrays of the (N, N^T) pair from
+    ``normalized_bipartite_sparse`` (split with ops.spmm.block_sparse_meta /
+    block_sparse_arrays so the matrices ride as jit arguments).
+    """
+    from gdmcf_tpu.ops.spmm import spmm_pair
+
+    n_user, n_item = e_user.shape[0], e_item.shape[0]
+    us, its = [e_user], [e_item]
+    u, i = e_user, e_item
+    for _ in range(n_layers):
+        u, i = (spmm_pair(n_meta, nt_meta, interpret,
+                          n_arrays, nt_arrays, i)[:n_user],
+                spmm_pair(nt_meta, n_meta, interpret,
+                          nt_arrays, n_arrays, u)[:n_item])
+        us.append(u)
+        its.append(i)
+    return (sum(us) / (n_layers + 1), sum(its) / (n_layers + 1))
+
+
 def bpr_loss(users_emb, pos_emb, neg_emb, user0, pos0, neg0,
              batch_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """BPR + L2 on the layer-0 embeddings (ref bpr_loss :207-219)."""
@@ -109,27 +172,58 @@ class LightGCNResult(NamedTuple):
 def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
              n_layers: int = 3, latent_dim: int = 64, epochs: int = 30,
              batch_size: int = 1024, lr: float = 0.005, decay: float = 1e-4,
-             k: int = 10, seed: int = 0, log=print) -> LightGCNResult:
+             k: int = 10, seed: int = 0, log=print,
+             sparse: "bool | None" = None, block_size: int = 128,
+             spmm_interpret: bool = False,
+             evaluate: bool = True) -> LightGCNResult:
     """Full pretraining loop (ref lightGCN.py:253-365): Adam + BPR, per-epoch
     Recall/Precision/NDCG/MAP@k eval, returns the 4 embedding matrices the
-    reference saves as .pt files (ref :320-323)."""
+    reference saves as .pt files (ref :320-323).
+
+    ``sparse``: propagate on the Pallas block-CSR SpMM instead of the dense
+    normalized blocks (the large-graph path — the reference's
+    ``torch.sparse.mm``, lightGCN.py:176-194). ``None`` auto-selects sparse
+    once the dense [n_user, n_item] matrix would exceed 2 GiB.
+    ``evaluate=False`` skips the dense-scoring eval (mandatory at scales where
+    the [n_user, n_item] score matrix cannot materialize; returns the final,
+    not best-NDCG, embeddings).
+    """
     from gdmcf_tpu.ops.metrics import compute_topn_accuracy
 
     n_user, n_item = train_csr.shape
     key = jax.random.PRNGKey(seed)
     e0 = xavier_uniform(key, (n_user + n_item, latent_dim))
-    # n_mat rides as a jit ARGUMENT — closing over it would embed the dense
-    # [n_user, n_item] block as a program constant (oversized compile payloads)
-    n_mat = jnp.asarray(normalized_bipartite_blocks(train_csr))
+    if sparse is None:
+        sparse = n_user * n_item * 4 > (2 << 30)
+    # propagation operands ride as jit ARGUMENTS — closing over them would
+    # embed the whole adjacency as a program constant (oversized compiles)
+    if sparse:
+        from gdmcf_tpu.ops.spmm import block_sparse_arrays, block_sparse_meta
+        n_bs, nt_bs = normalized_bipartite_sparse(train_csr, br=block_size,
+                                                  bc=block_size)
+        n_meta, nt_meta = block_sparse_meta(n_bs), block_sparse_meta(nt_bs)
+        prop_args = (block_sparse_arrays(n_bs), block_sparse_arrays(nt_bs))
+
+        def prop(e0, prop_args):
+            na, nta = prop_args
+            return propagate_sparse(e0[:n_user], e0[n_user:], n_meta, nt_meta,
+                                    na, nta, n_layers,
+                                    interpret=spmm_interpret)
+    else:
+        prop_args = jnp.asarray(normalized_bipartite_blocks(train_csr))
+
+        def prop(e0, prop_args):
+            return propagate(e0[:n_user], e0[n_user:], prop_args, n_layers)
+
     tx = optax.adam(lr)
     opt_state = tx.init(e0)
     rng = np.random.default_rng(seed)
     steps_per_epoch = max(n_user // batch_size, 1)
 
     @jax.jit
-    def train_step(e0, opt_state, n_mat, users, pos, neg):
+    def train_step(e0, opt_state, prop_args, users, pos, neg):
         def loss_fn(e0):
-            fu, fi = propagate(e0[:n_user], e0[n_user:], n_mat, n_layers)
+            fu, fi = prop(e0, prop_args)
             loss, reg = bpr_loss(fu[users], fi[pos], fi[neg],
                                  e0[users], e0[n_user + pos], e0[n_user + neg],
                                  users.shape[0])
@@ -139,11 +233,12 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
         return optax.apply_updates(e0, updates), opt_state, loss
 
     @jax.jit
-    def full_embeddings(e0, n_mat):
-        return propagate(e0[:n_user], e0[n_user:], n_mat, n_layers)
+    def full_embeddings(e0, prop_args):
+        return prop(e0, prop_args)
 
-    train_mask = np.asarray(train_csr.todense(), dtype=np.float32)
-    test_gt = np.asarray(test_csr.todense(), dtype=np.float32)
+    if evaluate:
+        train_mask = np.asarray(train_csr.todense(), dtype=np.float32)
+        test_gt = np.asarray(test_csr.todense(), dtype=np.float32)
 
     best_ndcg = -1.0
     best = None
@@ -151,12 +246,15 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
         total = 0.0
         for _ in range(steps_per_epoch):
             users, pos, neg = sample_bpr_batch(rng, train_csr, batch_size)
-            e0, opt_state, loss = train_step(e0, opt_state, n_mat,
+            e0, opt_state, loss = train_step(e0, opt_state, prop_args,
                                              jnp.asarray(users),
                                              jnp.asarray(pos),
                                              jnp.asarray(neg))
             total += float(loss)
-        fu, fi = full_embeddings(e0, n_mat)
+        if not evaluate:
+            log(f"epoch {epoch}: loss {total / steps_per_epoch:.4f}")
+            continue
+        fu, fi = full_embeddings(e0, prop_args)
         scores = np.array(fu @ fi.T)  # writable host copy
         scores[train_mask > 0] = -np.inf
         pred = np.argsort(-scores, axis=1)[:, :k]
@@ -169,6 +267,12 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
                 final_user=np.asarray(fu), final_item=np.asarray(fi),
                 initial_user=np.asarray(e0[:n_user]),
                 initial_item=np.asarray(e0[n_user:]))
+    if best is None:  # evaluate=False: final embeddings, no selection
+        fu, fi = full_embeddings(e0, prop_args)
+        best = LightGCNResult(
+            final_user=np.asarray(fu), final_item=np.asarray(fi),
+            initial_user=np.asarray(e0[:n_user]),
+            initial_item=np.asarray(e0[n_user:]))
     return best
 
 

@@ -31,13 +31,19 @@ BACKBONES = (
 )
 
 
-def build_model(cfg, n_user: int, n_item: int, train_csr=None) -> ModelDef:
+def build_model(cfg, n_user: int, n_item: int, train_csr=None,
+                mesh=None) -> ModelDef:
     """train_csr: training interaction matrix; used by the lightGCN backbone
     to propagate its link-filter embeddings over the frozen train graph
-    (reference main.py:221-235 builds e_f from train_data pre-model)."""
+    (reference main.py:221-235 builds e_f from train_data pre-model).
+    mesh: optional (dp, mp) device mesh — the embedding backbones switch
+    their user-table gather to the row-sharded shard_map lookup when mp>1."""
     in_dims = cfg.in_dims(n_item)
     out_dims = cfg.out_dims(n_item)
     common = dict(norm=cfg.norm, dropout_rate=cfg.dropout)
+    # corrected mode guards the cosine head's denominator (a zero-norm user
+    # vector or item row NaNs the whole score matrix in the reference)
+    emb_kw = dict(cosine_eps=0.0 if cfg.fidelity else 1e-8, mesh=mesh)
     b = cfg.backbone
     if b == "DNN":
         return dnn(in_dims, out_dims, cfg.emb_size, **common)
@@ -54,28 +60,36 @@ def build_model(cfg, n_user: int, n_item: int, train_csr=None) -> ModelDef:
         return dnn_transformer(in_dims, out_dims, cfg.emb_size, **common)
     if b == "DNNOneHotEmbedding":
         return dnn_one_hot_embedding(in_dims, out_dims, cfg.emb_size,
-                                     n_item, n_user, **common)
+                                     n_item, n_user, **common, **emb_kw)
     if b == "DNNOneHotEmbedding_conti":
         return dnn_one_hot_embedding(in_dims, out_dims, cfg.emb_size,
-                                     n_item, n_user, conti=True, **common)
+                                     n_item, n_user, conti=True,
+                                     **common, **emb_kw)
     if b == "DNNOneHotEmbeddingGCN":
         return dnn_one_hot_embedding_gcn(
             in_dims, out_dims, cfg.emb_size, n_item, n_user,
             gcn_layer_num=cfg.gcnLayerNum, noise_type=cfg.noise_type,
-            symmetric_gcn=cfg.symmetric_gcn, **common)
+            symmetric_gcn=cfg.symmetric_gcn, **common, **emb_kw)
     if b == "DNNOneHotEmbeddingGCN_conti":
         return dnn_one_hot_embedding_gcn(
             in_dims, out_dims, cfg.emb_size, n_item, n_user,
             gcn_layer_num=cfg.gcnLayerNum, noise_type=cfg.noise_type,
-            symmetric_gcn=cfg.symmetric_gcn, conti=True, **common)
+            symmetric_gcn=cfg.symmetric_gcn, conti=True, **common, **emb_kw)
     if b == "lightGCN":
-        norm_adj = None
+        norm_adj, sparse_adj = None, None
         if train_csr is not None:
-            from gdmcf_tpu.models.lightgcn import normalized_bipartite_blocks
-            n_mat = normalized_bipartite_blocks(train_csr)
-            norm_adj = (n_mat, n_mat.T)
+            # dense normalized blocks for moderate catalogs (MXU-optimal);
+            # Pallas block-CSR once the dense [n_user, n_item] would be large
+            if n_user * n_item * 4 > (2 << 30):
+                from gdmcf_tpu.models.lightgcn import normalized_bipartite_sparse
+                sparse_adj = normalized_bipartite_sparse(train_csr)
+            else:
+                from gdmcf_tpu.models.lightgcn import normalized_bipartite_blocks
+                n_mat = normalized_bipartite_blocks(train_csr)
+                norm_adj = (n_mat, n_mat.T)
         return dnn_lightgcn(in_dims, out_dims, cfg.emb_size,
-                            n_user, n_item, norm_adj=norm_adj, **common)
+                            n_user, n_item, norm_adj=norm_adj,
+                            sparse_adj=sparse_adj, **common)
     raise ValueError(f"not implemented backbone: {b}")
 
 

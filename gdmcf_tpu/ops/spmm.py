@@ -117,6 +117,58 @@ def spmm_reference(a: BlockSparse, x: jnp.ndarray) -> jnp.ndarray:
     return y.reshape(a.shape[0], x.shape[1])
 
 
+_Meta = Tuple[Tuple[int, int], int, int]  # (shape, br, bc) — static metadata
+
+
+def _rebuild(meta: _Meta, arrays) -> BlockSparse:
+    (shape, br, bc) = meta
+    blocks, block_cols, row_ptr = arrays
+    return BlockSparse(blocks=blocks, block_cols=block_cols, row_ptr=row_ptr,
+                       shape=shape, br=br, bc=bc)
+
+
+def block_sparse_meta(a: BlockSparse) -> _Meta:
+    return (a.shape, a.br, a.bc)
+
+
+def block_sparse_arrays(a: BlockSparse):
+    return (a.blocks, a.block_cols, a.row_ptr)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def spmm_pair(meta_a: _Meta, meta_at: _Meta, interpret: bool,
+              a_arrays, at_arrays, x: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable ``y = A @ x`` on the Pallas kernel.
+
+    The VJP of a sparse matmul w.r.t. the dense operand is ``A^T @ g`` — the
+    caller supplies A^T in the same block format (``at_arrays``), so the
+    backward pass runs on the identical kernel instead of needing a scatter
+    transpose. Cotangents for the adjacency arrays are zeros (the graph is
+    data, not a parameter — XLA dead-code-eliminates them).
+
+    Pass metadata via ``block_sparse_meta`` and arrays via
+    ``block_sparse_arrays`` so the sparse matrices ride as jit ARGUMENTS (see
+    ``spmm``'s docstring on why closing over them is a mistake).
+    """
+    return spmm(_rebuild(meta_a, a_arrays), x, interpret=interpret)
+
+
+def _spmm_pair_fwd(meta_a, meta_at, interpret, a_arrays, at_arrays, x):
+    y = spmm(_rebuild(meta_a, a_arrays), x, interpret=interpret)
+    return y, (a_arrays, at_arrays, x.shape[0])
+
+
+def _spmm_pair_bwd(meta_a, meta_at, interpret, res, g):
+    a_arrays, at_arrays, n_x = res
+    gx = spmm(_rebuild(meta_at, at_arrays), g, interpret=interpret)[:n_x]
+    zeros_a = jax.tree_util.tree_map(jnp.zeros_like, a_arrays)
+    zeros_at = jax.tree_util.tree_map(jnp.zeros_like, at_arrays)
+    return (zeros_a, zeros_at, gx)
+
+
+spmm_pair.defvjp(_spmm_pair_fwd, _spmm_pair_bwd)
+
+
 def _spmm_kernel(row_ptr_ref, block_cols_ref, blocks_hbm, x_hbm, y_ref,
                  a_buf, x_buf, acc_ref, sems, *, bc: int):
     i = pl.program_id(0)
@@ -180,8 +232,8 @@ def spmm(a: BlockSparse, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray
         num_scalar_prefetch=2,
         grid=(n_row_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # blocks stay in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # blocks stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
         ],
         out_specs=pl.BlockSpec((br, d), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),

@@ -39,15 +39,22 @@ def _local_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
 
 def sharded_embedding_lookup(mesh: Mesh, table: jnp.ndarray,
                              ids: jnp.ndarray,
-                             axis_name: str = "mp") -> jnp.ndarray:
-    """table: [N, D] sharded P('mp', None); ids: [B] replicated.
+                             axis_name: str = "mp",
+                             batch_axis: "str | None" = None) -> jnp.ndarray:
+    """table: [N, D] sharded P('mp', None); ids: [B].
     Returns [B, D] replicated over mp. Differentiable (grads scatter to the
-    owning shard only)."""
+    owning shard only).
+
+    ``batch_axis``: optionally shard the ids (and result rows) over a second
+    mesh axis (dp), so each data-parallel group only looks up its own batch
+    shard; requires B divisible by that axis size.
+    """
+    bspec = P(batch_axis) if batch_axis else P()
     fn = jax.shard_map(
         lambda t, i: _local_lookup(t, i, axis_name),
         mesh=mesh,
-        in_specs=(P(axis_name, None), P()),
-        out_specs=P(),
+        in_specs=(P(axis_name, None), bspec),
+        out_specs=P(batch_axis) if batch_axis else P(),
         check_vma=False,
     )
     return fn(table, ids)

@@ -26,6 +26,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # (regex over the '/'-joined param path, spec)
 DEFAULT_RULES: List[Tuple[str, P]] = [
     (r"embedding_item$", P("mp", None)),
+    # user table row-sharded over mp; the backbones gather it through the
+    # shard_map lookup (parallel/embed.py) so it is never all-gathered
+    (r"embedding_user$", P("mp", None)),
     (r"in_layers/0/w$", P("mp", None)),
     (r"in_layers2/0/w$", P("mp", None)),
     (r"cat_layer/w$", P(None, "mp")),

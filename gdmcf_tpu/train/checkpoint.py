@@ -29,10 +29,28 @@ class Checkpointer:
                                                  create=True),
         )
 
-    def save(self, state: TrainState, step: Optional[int] = None) -> None:
+    def save(self, state: TrainState, step: Optional[int] = None,
+             extra: Optional[dict] = None) -> None:
+        """``extra``: small JSON-serializable training metadata (best metric /
+        best epoch) persisted in a sidecar so resume does not reset model
+        selection (a fresh best_metric=-100 would let the first post-resume
+        eval rotate out the genuinely-best checkpoint)."""
         step = int(state.step) if step is None else int(step)
         self.manager.save(step, args=ocp.args.StandardSave(state))
         self.manager.wait_until_finished()
+        if extra is not None:
+            import json
+            with open(os.path.join(self.directory, "train_meta.json"), "w") as fh:
+                json.dump(extra, fh)
+
+    def load_extra(self) -> Optional[dict]:
+        """Read back the sidecar written by ``save(extra=...)`` (None if absent)."""
+        import json
+        path = os.path.join(self.directory, "train_meta.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
 
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()

@@ -38,20 +38,6 @@ class Trainer:
         self.cfg = cfg
         self.n_user = n_user
         self.n_item = n_item
-        self.model = build_model(cfg, n_user, n_item, train_csr=train_csr)
-        self.diffusion = Diffusion.create(cfg, index_in=self.model.needs_index,
-                                          variant=cfg.diffusion_variant)
-        self.tx = make_optimizer(cfg.lr, cfg.weight_decay)
-        if cfg.debug_nans:
-            jax.config.update("jax_debug_nans", True)
-        if cfg.rng_impl != "threefry2x32":
-            jax.config.update("jax_default_prng_impl", cfg.rng_impl)
-        if cfg.sampling_steps > cfg.steps:
-            import warnings
-            warnings.warn(
-                f"sampling_steps ({cfg.sampling_steps}) > steps ({cfg.steps}):"
-                " evaluation will fail (the reference asserts this inside "
-                "p_sample, gaussian_diffusion.py:669)", stacklevel=2)
         self.mesh = None
         if cfg.mesh_dp * cfg.mesh_mp > 1:
             from gdmcf_tpu.parallel.mesh import make_mesh
@@ -68,6 +54,21 @@ class Trainer:
                     stacklevel=2)
                 devices = jax.devices("cpu")
             self.mesh = make_mesh(cfg.mesh_dp, cfg.mesh_mp, devices)
+        self.model = build_model(cfg, n_user, n_item, train_csr=train_csr,
+                                 mesh=self.mesh)
+        self.diffusion = Diffusion.create(cfg, index_in=self.model.needs_index,
+                                          variant=cfg.diffusion_variant)
+        self.tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.param_dtype)
+        if cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+        if cfg.rng_impl != "threefry2x32":
+            jax.config.update("jax_default_prng_impl", cfg.rng_impl)
+        if cfg.sampling_steps > cfg.steps:
+            import warnings
+            warnings.warn(
+                f"sampling_steps ({cfg.sampling_steps}) > steps ({cfg.steps}):"
+                " evaluation will fail (the reference asserts this inside "
+                "p_sample, gaussian_diffusion.py:669)", stacklevel=2)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._train_multi = jax.jit(self._train_multi_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl,
@@ -120,8 +121,11 @@ class Trainer:
             (loss, (new_lt, aux)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        # dtype-preserving apply: with param_dtype=bfloat16 the update is
+        # (f32 master delta); add in f32, store back in the params' dtype
         new_params = jax.tree_util.tree_map(
-            lambda p, u: p + u, state.params, updates)
+            lambda p, u: (p.astype(u.dtype) + u).astype(p.dtype),
+            state.params, updates)
         new_state = TrainState(step=state.step + 1, params=new_params,
                                opt_state=new_opt, lt=new_lt, key=key)
         return new_state, loss
@@ -207,11 +211,19 @@ class Trainer:
                 sampling_noise=self.cfg.sampling_noise)
         scores = jnp.where(mask > 0, -jnp.inf, scores)
         if (self.mesh is not None and self.cfg.mesh_mp > 1
-                and scores.shape[1] % self.cfg.mesh_mp == 0
-                and scores.shape[0] % self.cfg.mesh_dp == 0):
-            # shard-local top-k + k-merge: only [B, k] crosses the ICI
+                and scores.shape[1] // self.cfg.mesh_mp >= top_k):
+            # shard-local top-k + k-merge: only [B, k] crosses the ICI.
+            # Non-divisible shapes are padded (-inf catalog columns, zero
+            # rows) instead of silently all-gathering the full matrix.
             from gdmcf_tpu.ops.topk import sharded_topk
-            _, idx = sharded_topk(self.mesh, scores, top_k)
+            b, n = scores.shape
+            pad_n = (-n) % self.cfg.mesh_mp
+            pad_b = (-b) % self.cfg.mesh_dp
+            padded = jnp.pad(scores, ((0, pad_b), (0, pad_n)),
+                             constant_values=-jnp.inf)
+            _, idx = sharded_topk(self.mesh, padded, top_k)
+            # padded columns can only win for all--inf rows; keep ids in-range
+            idx = jnp.minimum(idx[:b], n - 1)
         else:
             _, idx = jax.lax.top_k(scores, top_k)
         return idx
@@ -247,14 +259,18 @@ class Trainer:
                               mask_matrix: np.ndarray):
         """Device-resident eval batches, cached across eval epochs: the rows
         and masks are constant during training, so uploading them once saves
-        ~(2 x dataset size) of host->device transfer per eval."""
-        cache_key = (id(eval_rows), id(mask_matrix), eval_rows.shape,
-                     self.cfg.batch_size)
+        ~(2 x dataset size) of host->device transfer per eval.
+
+        Cache entries hold references to the source arrays and are matched
+        with ``is`` — never ``id()`` of a possibly-collected temporary, whose
+        address a different same-shape array could recycle (stale batches)."""
         cache = getattr(self, "_eval_cache", None)
         if cache is None:
-            cache = self._eval_cache = {}
-        if cache_key in cache:
-            return cache[cache_key]
+            cache = self._eval_cache = []
+        for rows_ref, mask_ref, bs_key, batches in cache:
+            if (rows_ref is eval_rows and mask_ref is mask_matrix
+                    and bs_key == self.cfg.batch_size):
+                return batches
         cfg = self.cfg
         n = eval_rows.shape[0]
         bs = cfg.batch_size
@@ -270,8 +286,8 @@ class Trainer:
             mask, _ = self._put_batch(mask, uids)
             batches.append((start, rows, uids, mask))
         if len(cache) >= 4:  # bound device-memory held by cached splits
-            cache.pop(next(iter(cache)))
-        cache[cache_key] = batches
+            cache.pop(0)
+        cache.append((eval_rows, mask_matrix, cfg.batch_size, batches))
         return batches
 
     def evaluate_streaming(self, state: TrainState, input_csrs, gt_csr,
@@ -343,6 +359,7 @@ class Trainer:
             from gdmcf_tpu.train.checkpoint import Checkpointer
             checkpointer = Checkpointer(cfg.ckpt_dir)
         start_epoch = 1
+        best_metric, best_epoch = -100.0, 0
         if checkpointer is not None and cfg.resume:
             latest = checkpointer.latest_step()
             if latest is not None:
@@ -351,8 +368,16 @@ class Trainer:
                 start_epoch = int(state.step) // steps_per_epoch + 1
                 log(f"resumed from checkpoint at step {int(state.step)} "
                     f"(epoch {start_epoch})")
-
-        best_metric, best_epoch = -100.0, max(start_epoch - 1, 0)
+                meta = checkpointer.load_extra()
+                if meta is not None:
+                    # restore model selection so the first post-resume eval
+                    # does not spuriously become a "new best" (and early-stop
+                    # counts from the true best epoch, as an uninterrupted
+                    # run would)
+                    best_metric = float(meta.get("best_metric", best_metric))
+                    best_epoch = int(meta.get("best_epoch", best_epoch))
+                else:  # no sidecar (pre-existing checkpoint): don't stop at once
+                    best_epoch = max(start_epoch - 1, 0)
         best_results = None
         topn = cfg.topN
         for epoch in range(start_epoch, cfg.epochs + 1):
@@ -368,9 +393,10 @@ class Trainer:
                     valid_results = self.evaluate(
                         state, train_rows, valid_gt, train_rows, topn)
                     if cfg.tst_w_val:
+                        # input rows == history mask here (train+valid); reuse
+                        # the hoisted mask_tv so the eval-batch cache hits
                         test_results = self.evaluate(
-                            state, np.clip(train_rows + valid_gt, 0, 1),
-                            test_gt, mask_tv, topn)
+                            state, mask_tv, test_gt, mask_tv, topn)
                     else:
                         test_results = self.evaluate(
                             state, train_rows, test_gt, mask_tv, topn)
@@ -398,7 +424,9 @@ class Trainer:
                     best_epoch = epoch
                     best_results = test_results
                     if checkpointer is not None:
-                        checkpointer.save(state)
+                        checkpointer.save(state, extra={
+                            "best_metric": float(best_metric),
+                            "best_epoch": int(best_epoch)})
 
             log("Runing Epoch {:03d} train loss {:.4f} costs {}".format(
                 epoch, total_loss,

@@ -88,3 +88,123 @@ def test_pretrain_smoke(rng):
     assert result.final_user.shape == (24, 8)
     assert result.final_item.shape == (16, 8)
     assert len(logs) == 2
+
+
+# ---------------------------------------------------------------------------
+# Pallas-sparse propagation path (VERDICT round-1 item 2)
+# ---------------------------------------------------------------------------
+
+def _sparse_pair_args(csr, br=16, bc=16):
+    from gdmcf_tpu.models.lightgcn import normalized_bipartite_sparse
+    from gdmcf_tpu.ops.spmm import block_sparse_arrays, block_sparse_meta
+
+    n_bs, nt_bs = normalized_bipartite_sparse(csr, br=br, bc=bc)
+    return (block_sparse_meta(n_bs), block_sparse_meta(nt_bs),
+            block_sparse_arrays(n_bs), block_sparse_arrays(nt_bs))
+
+
+def test_normalized_sparse_matches_dense_blocks(rng):
+    from gdmcf_tpu.ops.spmm import spmm_reference
+    from gdmcf_tpu.models.lightgcn import normalized_bipartite_sparse
+
+    n_user, n_item, d = 40, 28, 8
+    csr = random_csr(rng, n_user, n_item)
+    dense = normalized_bipartite_blocks(csr)
+    n_bs, nt_bs = normalized_bipartite_sparse(csr, br=16, bc=16)
+    x = jnp.asarray(rng.standard_normal((n_item, d)).astype(np.float32))
+    y = np.asarray(spmm_reference(n_bs, x))[:n_user]
+    np.testing.assert_allclose(y, dense @ np.asarray(x), rtol=2e-5, atol=1e-5)
+    xu = jnp.asarray(rng.standard_normal((n_user, d)).astype(np.float32))
+    yt = np.asarray(spmm_reference(nt_bs, xu))[:n_item]
+    np.testing.assert_allclose(yt, dense.T @ np.asarray(xu), rtol=2e-5, atol=1e-5)
+
+
+def test_propagate_sparse_matches_dense(rng):
+    from gdmcf_tpu.models.lightgcn import propagate_sparse
+
+    n_user, n_item, d, k = 40, 28, 8, 3
+    csr = random_csr(rng, n_user, n_item)
+    n_mat = jnp.asarray(normalized_bipartite_blocks(csr))
+    e_u = jnp.asarray(rng.standard_normal((n_user, d)).astype(np.float32))
+    e_i = jnp.asarray(rng.standard_normal((n_item, d)).astype(np.float32))
+    fu_d, fi_d = propagate(e_u, e_i, n_mat, k)
+    n_meta, nt_meta, n_arr, nt_arr = _sparse_pair_args(csr)
+    fu_s, fi_s = propagate_sparse(e_u, e_i, n_meta, nt_meta, n_arr, nt_arr, k,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(fu_s), np.asarray(fu_d),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fi_s), np.asarray(fi_d),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_propagate_sparse_gradients_match_dense(rng):
+    """The custom-VJP (A^T @ g on the same kernel) must reproduce the dense
+    backward for a scalar loss over both propagated tables."""
+    import jax
+
+    from gdmcf_tpu.models.lightgcn import propagate_sparse
+
+    n_user, n_item, d, k = 24, 20, 6, 2
+    csr = random_csr(rng, n_user, n_item)
+    n_mat = jnp.asarray(normalized_bipartite_blocks(csr))
+    w_u = jnp.asarray(rng.standard_normal((n_user, d)).astype(np.float32))
+    w_i = jnp.asarray(rng.standard_normal((n_item, d)).astype(np.float32))
+    e0 = jnp.asarray(
+        rng.standard_normal((n_user + n_item, d)).astype(np.float32))
+    n_meta, nt_meta, n_arr, nt_arr = _sparse_pair_args(csr)
+
+    def loss_dense(e0):
+        fu, fi = propagate(e0[:n_user], e0[n_user:], n_mat, k)
+        return (fu * w_u).sum() + (fi * w_i).sum()
+
+    def loss_sparse(e0):
+        fu, fi = propagate_sparse(e0[:n_user], e0[n_user:], n_meta, nt_meta,
+                                  n_arr, nt_arr, k, interpret=True)
+        return (fu * w_u).sum() + (fi * w_i).sum()
+
+    g_d = jax.grad(loss_dense)(e0)
+    g_s = jax.grad(loss_sparse)(e0)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pretrain_sparse_matches_dense(rng):
+    """Same seed, same data: the sparse-propagation pretrain must land on the
+    same embeddings as the dense path (they compute the same math)."""
+    csr = random_csr(rng, 30, 24, p=0.25)
+    test = random_csr(rng, 30, 24, p=0.1)
+    kw = dict(n_layers=2, latent_dim=8, epochs=2, batch_size=16, seed=0,
+              log=lambda *a: None)
+    res_d = pretrain(csr, test, sparse=False, **kw)
+    res_s = pretrain(csr, test, sparse=True, block_size=16,
+                     spmm_interpret=True, **kw)
+    np.testing.assert_allclose(res_s.final_user, res_d.final_user,
+                               rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(res_s.final_item, res_d.final_item,
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_dnn_lightgcn_sparse_adj_matches_dense(rng):
+    """The lightGCN backbone's init-time propagation: sparse_adj == norm_adj."""
+    import jax
+
+    from gdmcf_tpu.models.backbones import dnn_lightgcn
+    from gdmcf_tpu.models.lightgcn import normalized_bipartite_sparse
+
+    n_user, n_item = 24, 20
+    csr = random_csr(rng, n_user, n_item)
+    n_mat = normalized_bipartite_blocks(csr)
+    n_bs, nt_bs = normalized_bipartite_sparse(csr, br=16, bc=16)
+    dims = [n_item, 8]
+    m_dense = dnn_lightgcn(dims, dims[::-1], 10, n_user, n_item,
+                           norm_adj=(n_mat, n_mat.T))
+    m_sparse = dnn_lightgcn(dims, dims[::-1], 10, n_user, n_item,
+                            sparse_adj=(n_bs, nt_bs, True))
+    p_d = m_dense.init(jax.random.PRNGKey(0))
+    p_s = m_sparse.init(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(p_s["frozen_lgn_user"]),
+                               np.asarray(p_d["frozen_lgn_user"]),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p_s["frozen_lgn_item"]),
+                               np.asarray(p_d["frozen_lgn_item"]),
+                               rtol=2e-4, atol=2e-5)

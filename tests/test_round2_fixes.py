@@ -1,0 +1,225 @@
+"""Round-2 behavior fixes (VERDICT.md item 8 + ADVICE.md items):
+
+- eval-batch cache keyed on array identity (held refs), not recyclable id()
+- sharded top-k pads to mesh divisibility instead of silently all-gathering
+- cosine denominator epsilon under fidelity=False
+- discrete alpha_bar clipped to [0,1] on the fidelity path (partial batches)
+- best_metric/best_epoch persisted across checkpoint resume
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from gdmcf_tpu.config import Config
+from gdmcf_tpu.diffusion.engine import Diffusion
+from gdmcf_tpu.models.layers import cosine_scores
+from gdmcf_tpu.models.registry import build_model
+from gdmcf_tpu.train.trainer import Trainer
+
+
+def _trainer(**kw):
+    base = dict(backbone="DNNOneHotEmbeddingGCN", dims=[12], emb_size=10,
+                steps=5, noise_scale=0.01, batch_size=8, sampling_steps=0)
+    base.update(kw)
+    cfg = Config(**base)
+    return Trainer(cfg, 24, 20)
+
+
+# ---------------------------------------------------------------------------
+# eval cache
+# ---------------------------------------------------------------------------
+
+def test_eval_cache_hits_on_same_arrays():
+    t = _trainer()
+    rows = np.zeros((16, 20), dtype=np.float32)
+    mask = np.zeros((16, 20), dtype=np.float32)
+    b1 = t._prepare_eval_batches(rows, mask)
+    b2 = t._prepare_eval_batches(rows, mask)
+    assert b1 is b2
+
+
+def test_eval_cache_not_stale_for_fresh_same_shape_arrays():
+    """A different array of the same shape must produce fresh device batches
+    with ITS contents (the old id()-keyed cache could serve stale rows)."""
+    t = _trainer()
+    rows1 = np.zeros((16, 20), dtype=np.float32)
+    mask = np.zeros((16, 20), dtype=np.float32)
+    b1 = t._prepare_eval_batches(rows1, mask)
+    del rows1  # allow id reuse, as a GC'd temporary would
+    rows2 = np.ones((16, 20), dtype=np.float32)
+    b2 = t._prepare_eval_batches(rows2, mask)
+    assert b2 is not b1
+    for _start, dev_rows, _uids, _m in b2:
+        np.testing.assert_array_equal(np.asarray(dev_rows), 1.0)
+
+
+def test_eval_cache_bounded():
+    t = _trainer()
+    mask = np.zeros((16, 20), dtype=np.float32)
+    keep = [np.full((16, 20), i, dtype=np.float32) for i in range(6)]
+    for r in keep:
+        t._prepare_eval_batches(r, mask)
+    assert len(t._eval_cache) <= 4
+
+
+# ---------------------------------------------------------------------------
+# sharded top-k padding
+# ---------------------------------------------------------------------------
+
+def test_sharded_topk_pads_nondivisible_catalog():
+    """n_item=20 is not divisible by mp=3: the padded sharded top-k must agree
+    with the plain single-device ranking (old behavior: silent full-gather)."""
+    n_user, n_item, b = 24, 20, 6
+    kw = dict(backbone="DNNOneHotEmbeddingGCN", dims=[12], emb_size=10,
+              steps=5, noise_scale=0.01, batch_size=b, sampling_steps=0)
+    t_plain = Trainer(Config(**kw), n_user, n_item)
+    t_mesh = Trainer(Config(mesh_dp=2, mesh_mp=3, **kw), n_user, n_item)
+    state = t_plain.init_state()
+    rng = np.random.default_rng(0)
+    rows = (rng.random((b, n_item)) < 0.4).astype(np.float32)
+    mask = np.zeros((b, n_item), dtype=np.float32)
+    key = jax.random.PRNGKey(7)
+    args = (state.params, jnp.asarray(rows), jnp.arange(b, dtype=jnp.int32),
+            jnp.asarray(mask), key)
+    idx_plain = np.asarray(t_plain._eval_step(*args, sampling_steps=0, top_k=5))
+    idx_mesh = np.asarray(t_mesh._eval_step(*args, sampling_steps=0, top_k=5))
+    np.testing.assert_array_equal(idx_plain, idx_mesh)
+    assert idx_mesh.max() < n_item
+
+
+# ---------------------------------------------------------------------------
+# cosine epsilon
+# ---------------------------------------------------------------------------
+
+def test_cosine_scores_eps_guards_zero_norm():
+    u = jnp.zeros((2, 4)).at[1].set(1.0)
+    table = jnp.ones((3, 4))
+    assert not np.isfinite(np.asarray(cosine_scores(u, table))).all()
+    guarded = np.asarray(cosine_scores(u, table, eps=1e-8))
+    assert np.isfinite(guarded).all()
+
+
+@pytest.mark.parametrize("fidelity,finite", [(True, False), (False, True)])
+def test_registry_threads_cosine_eps(fidelity, finite):
+    cfg = Config(backbone="DNNOneHotEmbedding", dims=[12], emb_size=10,
+                 steps=5, noise_scale=0.01, batch_size=4, fidelity=fidelity)
+    model = build_model(cfg, 8, 10)
+    params = model.init(jax.random.PRNGKey(0))
+    params["embedding_item"] = params["embedding_item"].at[3].set(0.0)
+    x = jnp.ones((4, 10))
+    x_u = jnp.stack([1.0 - x, x], axis=-1)
+    t = jnp.zeros((4,), dtype=jnp.int32)
+    scores, _ = model.apply(params, x, t, x_u, index=jnp.arange(4),
+                            graph=x_u, rcloss=False, train=False, rng=None)
+    assert np.isfinite(np.asarray(scores)).all() == finite
+
+
+# ---------------------------------------------------------------------------
+# alpha_bar clip
+# ---------------------------------------------------------------------------
+
+def test_fidelity_alpha_bar_clipped_for_partial_batches():
+    cfg = Config(dims=[12], steps=10, noise_scale=0.01, batch_size=4,
+                 fidelity=True)
+    diff = Diffusion.create(cfg)
+    ts = jnp.arange(10, dtype=jnp.int32)
+    a = np.asarray(diff._alpha_bar_discrete(ts, 4))  # ts/B up to 2.25 pre-clip
+    assert a.max() <= 1.0 and a.min() >= 0.0
+    # full-size batches (B >= steps) are bit-identical to the unclipped quirk
+    a_full = np.asarray(diff._alpha_bar_discrete(ts, 16))
+    np.testing.assert_allclose(a_full, np.arange(10) / 16.0)
+    # Bernoulli probabilities stay valid for the degenerate geometry
+    p1 = diff.discrete_p_one(jnp.asarray(a), jnp.ones((10, 3)))
+    assert float(p1.max()) <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# best-metric persistence across resume
+# ---------------------------------------------------------------------------
+
+def test_checkpoint_extra_roundtrip(tmp_path):
+    from gdmcf_tpu.train.checkpoint import Checkpointer
+
+    t = _trainer()
+    state = t.init_state()
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    assert ckpt.load_extra() is None
+    ckpt.save(state, extra={"best_metric": 0.25, "best_epoch": 7})
+    assert ckpt.load_extra() == {"best_metric": 0.25, "best_epoch": 7}
+    ckpt.close()
+
+
+def test_fit_resume_restores_best_metric(tmp_path):
+    """After resume, the restored best_metric must gate selection: an eval
+    that doesn't beat the persisted best must not rotate its checkpoint out."""
+    rng = np.random.default_rng(0)
+    n_user, n_item = 32, 24
+    mats = [sp.csr_matrix((rng.random((n_user, n_item)) < p).astype(np.float32))
+            for p in (0.3, 0.1, 0.1)]
+
+    def cfg(epochs):
+        return Config(backbone="DNNOneHotEmbeddingGCN", dims=[12], emb_size=10,
+                      steps=3, noise_scale=0.01, batch_size=8, topN=[5, 10],
+                      sampling_steps=0, epochs=epochs, eval_every=1,
+                      ckpt_dir=str(tmp_path / "ckpt"), resume=True,
+                      fidelity=False, random_seed=3)
+
+    t1 = Trainer(cfg(2), n_user, n_item)
+    t1.fit(*mats, log=lambda *a: None)
+    from gdmcf_tpu.train.checkpoint import Checkpointer
+    meta1 = Checkpointer(str(tmp_path / "ckpt")).load_extra()
+    assert meta1 is not None and meta1["best_epoch"] >= 1
+
+    t2 = Trainer(cfg(4), n_user, n_item)
+    t2.fit(*mats, log=lambda *a: None)
+    meta2 = Checkpointer(str(tmp_path / "ckpt")).load_extra()
+    # the persisted best only moves forward, and never resets to -100
+    assert meta2["best_metric"] >= meta1["best_metric"]
+    assert meta2["best_epoch"] >= meta1["best_epoch"]
+
+
+# ---------------------------------------------------------------------------
+# bf16 parameter storage (f32 master weights)
+# ---------------------------------------------------------------------------
+
+def test_bf16_param_storage_trains():
+    t = _trainer(param_dtype="bfloat16", lr=1e-3)
+    state = t.init_state()
+    # storage dtype bf16; master copy in the optimizer state is f32
+    assert state.params["embedding_user"].dtype == jnp.bfloat16
+    _inner, master = state.opt_state
+    assert master["embedding_user"].dtype == jnp.float32
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((rng.random((8, 20)) < 0.3).astype(np.float32))
+    idx = jnp.arange(8, dtype=jnp.int32)
+    losses = []
+    for _ in range(10):
+        state, loss = t._train_step(state, x, idx)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert state.params["embedding_user"].dtype == jnp.bfloat16
+
+
+def test_bf16_master_accumulates_small_updates():
+    """lr small enough that a single update underflows bf16 rounding: the f32
+    master must still move, and the bf16 params must follow once the
+    accumulated drift crosses a bf16 ulp."""
+    t = _trainer(param_dtype="bfloat16", lr=1e-5)
+    state = t.init_state()
+    p0 = np.asarray(state.params["in_layers"][0]["w"], dtype=np.float32)
+    _inner, m0 = state.opt_state
+    m0 = np.asarray(m0["in_layers"][0]["w"])
+    rng = np.random.default_rng(1)
+    x = jnp.asarray((rng.random((8, 20)) < 0.3).astype(np.float32))
+    idx = jnp.arange(8, dtype=jnp.int32)
+    for _ in range(30):
+        state, _ = t._train_step(state, x, idx)
+    _inner, m1 = state.opt_state
+    m1 = np.asarray(m1["in_layers"][0]["w"])
+    assert np.abs(m1 - m0).max() > 0  # master always accumulates
+    p1 = np.asarray(state.params["in_layers"][0]["w"], dtype=np.float32)
+    assert np.abs(p1 - p0).max() > 0  # and storage follows the master

@@ -37,7 +37,7 @@ def test_param_specs_target_item_axis():
     assert specs["embedding_item"] == P("mp", None)
     assert specs["in_layers"][0]["w"] == P("mp", None)
     assert specs["in_layers2"][0]["w"] == P("mp", None)
-    assert specs["embedding_user"] == P()
+    assert specs["embedding_user"] == P("mp", None)  # row-sharded EP analog
     assert specs["sumW"] == P()
 
 
@@ -119,3 +119,71 @@ def test_dryrun_smaller_meshes(n):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(n)
+
+
+def test_sharded_user_lookup_matches_replicated():
+    """Model built WITH the mesh (shard_map user-table lookup) must be
+    numerically identical to the mesh-less replicated-gather model, forward
+    AND backward (VERDICT round-1 item 3)."""
+    cfg, model_plain, diff, params = setup()
+    mesh = make_mesh(dp=4, mp=2, devices=cpu_devices)
+    model_mesh = build_model(cfg, N_USER, N_ITEM, mesh=mesh)
+
+    x = (jax.random.uniform(jax.random.PRNGKey(1), (B, N_ITEM)) < 0.3
+         ).astype(jnp.float32)
+    x_U = jnp.stack([1.0 - x, x], axis=-1)
+    t = jnp.zeros((B,), jnp.int32)
+    idx = jnp.arange(B, dtype=jnp.int32)
+
+    ref_out, _ = model_plain.apply(params, x, t, x_U, index=idx, graph=x_U,
+                                   train=False, rng=None)
+    sp_params = shard_params(params, mesh)
+    out, _ = jax.jit(
+        lambda p, x, t, xu, i: model_mesh.apply(p, x, t, xu, index=i,
+                                                graph=xu, train=False,
+                                                rng=None)
+    )(sp_params, x, t, x_U, idx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=2e-4, atol=2e-5)
+
+    # gradients: the shard_map lookup's backward (masked scatter + psum)
+    # must equal the dense gather's backward on the user table
+    def loss(model):
+        def fn(p):
+            o, _ = model.apply(p, x, t, x_U, index=idx, graph=x_U,
+                               train=False, rng=None)
+            return (o ** 2).sum()
+        return fn
+
+    g_plain = jax.grad(loss(model_plain))(params)["embedding_user"]
+    g_mesh = jax.jit(jax.grad(loss(model_mesh)))(sp_params)["embedding_user"]
+    np.testing.assert_allclose(np.asarray(g_mesh), np.asarray(g_plain),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_mesh_trainer_step_matches_single_device():
+    """One optimizer step on the (4,2)-mesh Trainer == the single-device
+    Trainer, same params and batch (dp x mp + sharded-lookup equivalence)."""
+    from gdmcf_tpu.train.trainer import Trainer
+
+    kw = dict(backbone="DNNOneHotEmbeddingGCN", dims=[16], emb_size=10,
+              steps=5, noise_scale=0.01, batch_size=B, lr=1e-3,
+              sampling_steps=0, random_seed=0)
+    t_plain = Trainer(Config(**kw), N_USER, N_ITEM)
+    t_mesh = Trainer(Config(mesh_dp=4, mesh_mp=2, **kw), N_USER, N_ITEM)
+
+    state_p = t_plain.init_state()
+    state_m = t_mesh.init_state()
+    rng = np.random.default_rng(0)
+    x = (rng.random((B, N_ITEM)) < 0.3).astype(np.float32)
+    idx = np.arange(B, dtype=np.int32)
+
+    state_p, loss_p = t_plain._train_step(state_p, jnp.asarray(x),
+                                          jnp.asarray(idx))
+    xs, idxs = t_mesh._put_batch(jnp.asarray(x), jnp.asarray(idx))
+    state_m, loss_m = t_mesh._train_step(state_m, xs, idxs)
+    np.testing.assert_allclose(float(loss_m), float(loss_p),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(state_m.params["embedding_user"]),
+        np.asarray(state_p.params["embedding_user"]), rtol=5e-3, atol=1e-5)

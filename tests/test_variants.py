@@ -104,3 +104,81 @@ def test_absorbing_qt_bar_rows_stochastic():
     # rows sum to a + (1-a)*C (the reference helper is unnormalized; parity)
     np.testing.assert_allclose(np.asarray(q.sum(-1)[1]),
                                0.3 + 0.7 * 4, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# legacy n-state machinery (VERDICT round-1 item 9)
+# ---------------------------------------------------------------------------
+
+def _legacy_diff():
+    from gdmcf_tpu.config import Config
+    from gdmcf_tpu.diffusion.engine import Diffusion
+    cfg = Config(dims=[8], steps=10, noise_scale=0.01, batch_size=10,
+                 fidelity=True)
+    return Diffusion.create(cfg, variant="legacy")
+
+
+def test_legacy_apply_noise_runs_and_is_binary():
+    """The reference's n-state apply_noise is dead AND shape-broken
+    (gaussian_diffusion.py:91-108 broadcasts [bs,2,2] against eye(2810));
+    our closed-form implementation of its intent must actually run."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    diff = _legacy_diff()
+    key = jax.random.PRNGKey(0)
+    x = jnp.ones((10, 20), dtype=jnp.float32)
+    ts = jnp.full((10,), 5, dtype=jnp.int32)
+    out = diff.legacy_apply_noise(key, ts, x)
+    assert out.shape == x.shape
+    vals = np.unique(np.asarray(out))
+    assert set(vals.tolist()) <= {0.0, 1.0}
+    # deterministic under the same key
+    out2 = diff.legacy_apply_noise(key, ts, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_legacy_apply_noise_blend_keeps_most_of_x():
+    """mix_tensors(x, x_t, 0.8): ~80% of cells come from x (ref :269-271)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    diff = _legacy_diff()
+    x = jnp.ones((20, 50), dtype=jnp.float32)
+    ts = jnp.full((20,), 2, dtype=jnp.int32)
+    fracs = []
+    for s in range(5):
+        out = diff.legacy_apply_noise(jax.random.PRNGKey(s), ts, x)
+        fracs.append(float(np.asarray(out).mean()))
+    # >= 0.8 of cells copy x(=1); the sampled remainder is mostly 0
+    assert 0.75 < np.mean(fracs) <= 1.0
+
+
+def test_legacy_apply_noise_zero_rows_do_not_crash():
+    """The reference's multinomial raises on all-zero rows; the closed form
+    samples the a->0 uniform limit instead (documented repair)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    diff = _legacy_diff()
+    x = jnp.zeros((6, 12), dtype=jnp.float32)
+    ts = jnp.arange(6, dtype=jnp.int32)
+    out = diff.legacy_apply_noise(jax.random.PRNGKey(1), ts, x)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_legacy_apply_noise_x_base_blend():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    diff = _legacy_diff()
+    x = jnp.ones((10, 30), dtype=jnp.float32)
+    base = jnp.zeros((10, 30), dtype=jnp.float32)
+    ts = jnp.full((10,), 3, dtype=jnp.int32)
+    out = diff.legacy_apply_noise(jax.random.PRNGKey(2), ts, x, x_base=base)
+    # 99% of cells come from x_base (=0)
+    assert float(np.asarray(out).mean()) < 0.05
