@@ -1,0 +1,257 @@
+"""Run the ACTUAL reference (repaired, plain-torch backbones) for golden parity.
+
+This does NOT copy reference code. It imports ``/root/reference`` directly and
+applies the minimal, documented repairs at runtime:
+
+  * ``parse_args_util.py:1`` is a syntax error (``pimport``) — never imported;
+    the recipe is constructed here as an argparse Namespace.
+  * ``main.py:328`` has a bare ``continue`` that dead-codes the training body —
+    the intended loop (main.py:315-378) is re-driven here, line-for-line in
+    behavior (AdamW, training_losses, eval-every-5, reference selection quirk).
+  * ``models/DNN.py:7,1047`` import torch_geometric (absent, CUDA-only
+    kernels); stub modules satisfy the import — the plain-torch backbones
+    (DNN :11-88, DNNOneHot :360-477, DNNOneHotEmbedding :510-681) never touch
+    them at runtime.
+  * ``evaluate_utils.py:2`` imports bottleneck (absent, and unused) — stubbed.
+  * ``gaussian_diffusion.py:744,889`` call ``index.cuda()`` — on this CPU-only
+    host, ``Tensor.cuda`` is patched to identity (same tensor, same device).
+
+Usage (writes one JSON line-file per run):
+    python benchmarks/reference_runner.py --data-dir /tmp/synth_yelp \
+        --backbone DNNOneHotEmbedding --epochs 150 --seed 0 \
+        --out /tmp/ref_s0.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import types
+
+import numpy as np
+
+REFERENCE = "/root/reference"
+
+
+def _install_stubs():
+    """Satisfy the reference's module-level imports that cannot resolve here."""
+    if "torch_geometric" not in sys.modules:
+        tg = types.ModuleType("torch_geometric")
+        tg_nn = types.ModuleType("torch_geometric.nn")
+
+        class _Unavailable:
+            """Placeholder for GPU-only torch_geometric classes; the plain
+            backbones never instantiate these."""
+
+            def __init__(self, *a, **kw):
+                raise RuntimeError("torch_geometric is not available in this "
+                                   "container (GPU-only dependency)")
+
+        # MessagePassing is subclassed at import time (DNN.py:1048); a plain
+        # base class is enough for the class statement to execute.
+        class MessagePassing:
+            def __init__(self, *a, **kw):
+                raise RuntimeError("torch_geometric MessagePassing stub")
+
+        tg_nn.LightGCN = _Unavailable
+        tg_nn.GCNConv = _Unavailable
+        tg_nn.MessagePassing = MessagePassing
+        tg.nn = tg_nn
+        sys.modules["torch_geometric"] = tg
+        sys.modules["torch_geometric.nn"] = tg_nn
+    if "bottleneck" not in sys.modules:
+        sys.modules["bottleneck"] = types.ModuleType("bottleneck")
+
+
+def load_reference():
+    """Import the reference modules (with stubs + CPU patches applied)."""
+    _install_stubs()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import torch
+
+    # gaussian_diffusion.py:744,889 force .cuda(); identity on this CPU host
+    torch.Tensor.cuda = lambda self, *a, **kw: self  # type: ignore[assignment]
+    import models.gaussian_diffusion as gd  # noqa: E402
+    import models.DNN as rdnn  # noqa: E402
+    import evaluate_utils  # noqa: E402
+    return gd, rdnn, evaluate_utils
+
+
+def build(args_ns, n_user, n_item):
+    """Reference main.py:183-258 construction for the plain-torch backbones."""
+    import torch
+
+    gd, rdnn, _ = load_reference()
+    device = torch.device("cpu")
+    mean_type = (gd.ModelMeanType.START_X if args_ns.mean_type == "x0"
+                 else gd.ModelMeanType.EPSILON)
+    cat_one_hot = args_ns.OneHotMatrix == 2
+    diffusion = gd.GaussianDiffusionDiscrete(
+        mean_type, args_ns.noise_schedule, args_ns.noise_scale,
+        args_ns.noise_min, args_ns.noise_max, args_ns.steps, device,
+        discrete=args_ns.discrete, CatOneHot=cat_one_hot,
+        epps=1 - args_ns.epps0, args=args_ns).to(device)
+    out_dims = list(args_ns.dims) + [n_item]
+    in_dims = out_dims[::-1]
+    b = args_ns.backbone
+    if b == "DNN":
+        model = rdnn.DNN(in_dims, out_dims, args_ns.emb_size, time_type="cat",
+                         norm=args_ns.norm)
+    elif b == "DNNOneHot":
+        model = rdnn.DNNOneHot(in_dims, out_dims, args_ns.emb_size,
+                               time_type="cat", norm=args_ns.norm)
+    elif b == "DNNOneHotEmbedding":
+        diffusion.indexIn = True
+        model = rdnn.DNNOneHotEmbedding(
+            in_dims, out_dims, args_ns.emb_size, time_type="cat",
+            norm=args_ns.norm, item_num=n_item, user_num=n_user)
+    else:
+        raise ValueError(f"backbone {b} needs torch_geometric/CUDA; only the "
+                         "plain-torch backbones run here")
+    return diffusion, model.to(device)
+
+
+def evaluate(diffusion, model, args_ns, eval_rows, mask_rows, gt_csr, topn,
+             evaluate_utils):
+    """The reference evaluate closure (main.py:266-309): iterate TRAIN rows,
+    p_sample, mask history, topk, computeTopNAccuracy."""
+    import torch
+
+    model.eval()
+    n = eval_rows.shape[0]
+    bs = args_ns.batch_size
+    target_items = [gt_csr[i].nonzero()[1].tolist() for i in range(n)]
+    predict_items = []
+    with torch.no_grad():
+        stop = (n // bs) * bs  # reference test_loader has drop_last=True
+        for start in range(0, stop, bs):
+            batch = torch.from_numpy(eval_rows[start:start + bs])
+            index = torch.arange(start, start + batch.shape[0])
+            prediction = diffusion.p_sample(
+                model, batch, args_ns.sampling_steps, args_ns.sampling_noise,
+                index=index)
+            his = mask_rows[start:start + batch.shape[0]]
+            prediction[torch.from_numpy(his).nonzero(as_tuple=True)] = -np.inf
+            _, indices = torch.topk(prediction, topn[-1])
+            predict_items.extend(indices.cpu().numpy().tolist())
+    return evaluate_utils.computeTopNAccuracy(target_items, predict_items, topn)
+
+
+def run(opts) -> dict:
+    import torch
+
+    sys.path.insert(0, "/root/repo")
+    from gdmcf_tpu.data.loader import data_load, generate_synthetic_dataset
+
+    gd, rdnn, evaluate_utils = load_reference()
+
+    import os
+    if not os.path.exists(os.path.join(opts.data_dir, "train_list.npy")):
+        generate_synthetic_dataset(opts.data_dir, seed=opts.data_seed)
+    train_csr, valid_csr, test_csr, n_user, n_item = data_load(
+        os.path.join(opts.data_dir, "train_list.npy"),
+        os.path.join(opts.data_dir, "valid_list.npy"),
+        os.path.join(opts.data_dir, "test_list.npy"))
+
+    # reference main.py:143-147: density from the FULL matrix, then truncate
+    dense = np.asarray(train_csr.todense(), dtype=np.float32)
+    epps0 = float(dense.sum() / dense.size)
+    if opts.n_user_cap:
+        n_user = min(n_user, opts.n_user_cap)
+    train_rows = dense[:n_user]
+    del dense
+
+    args_ns = argparse.Namespace(
+        backbone=opts.backbone, dims=opts.dims, emb_size=10, norm=False,
+        mean_type="x0", steps=opts.steps, noise_schedule="linear-var",
+        noise_scale=opts.noise_scale, noise_min=0.001, noise_max=0.01,
+        sampling_noise=False, sampling_steps=opts.sampling_steps,
+        reweight=True, discrete=0.9995, OneHotMatrix=2, batch_size=opts.batch,
+        user_guided=1, epps0=epps0)
+
+    torch.manual_seed(opts.seed)
+    np.random.seed(opts.seed)
+    diffusion, model = build(args_ns, n_user, n_item)
+    opt = torch.optim.AdamW(model.parameters(), lr=opts.lr, weight_decay=0.0)
+
+    topn = [10, 20, 50, 100]
+    mask_tv = np.clip(
+        train_rows + np.asarray(valid_csr.todense(), dtype=np.float32)[:n_user],
+        0, 1)
+    valid_c = valid_csr[:n_user]
+    test_c = test_csr[:n_user]
+
+    rng = np.random.default_rng(opts.seed)
+    bs = opts.batch
+    result = {"config": vars(opts), "n_user": n_user, "n_item": n_item,
+              "losses": [], "evals": []}
+    best_recall, best_epoch = -100.0, 0
+    best_test = None
+    t0 = time.time()
+    for epoch in range(1, opts.epochs + 1):
+        if epoch - best_epoch >= 200:
+            break
+        model.train()
+        order = rng.permutation(n_user)
+        total_loss = 0.0
+        for start in range(0, (n_user // bs) * bs, bs):
+            idx = order[start:start + bs]
+            batch = torch.from_numpy(train_rows[idx])
+            index = torch.from_numpy(idx.astype(np.int64))
+            opt.zero_grad()
+            terms = diffusion.training_losses(model, batch, args_ns.reweight,
+                                              index=index)
+            loss = terms["loss"].mean()
+            total_loss += float(loss.detach())
+            loss.backward()
+            opt.step()
+        result["losses"].append(round(total_loss, 6))
+        if epoch % 5 == 0:
+            valid_results = evaluate(diffusion, model, args_ns, train_rows,
+                                     train_rows, valid_c, topn, evaluate_utils)
+            test_results = evaluate(diffusion, model, args_ns, train_rows,
+                                    mask_tv, test_c, topn, evaluate_utils)
+            result["evals"].append({"epoch": epoch, "valid": valid_results,
+                                    "test": test_results})
+            evaluate_utils.print_results(None, valid_results, test_results)
+            # the reference selection quirk verbatim (main.py:362-363)
+            if valid_results[2][1] > best_recall:
+                best_recall, best_epoch = test_results[2][1], epoch
+                best_test = test_results
+        print(f"Epoch {epoch:03d} loss {total_loss:.4f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+    result["best_epoch"] = best_epoch
+    result["best_test"] = best_test
+    result["elapsed_s"] = round(time.time() - t0, 1)
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", required=True)
+    ap.add_argument("--data-seed", type=int, default=0)
+    ap.add_argument("--backbone", default="DNNOneHotEmbedding")
+    ap.add_argument("--epochs", type=int, default=150)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--lr", type=float, default=1e-5)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--dims", type=int, nargs="+", default=[1000])
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--noise-scale", type=float, default=0.01)
+    ap.add_argument("--sampling-steps", type=int, default=0)
+    ap.add_argument("--n-user-cap", type=int, default=3000)
+    ap.add_argument("--out", default=None)
+    opts = ap.parse_args()
+    result = run(opts)
+    if opts.out:
+        with open(opts.out, "w") as fh:
+            json.dump(result, fh)
+    print(json.dumps({k: result[k] for k in
+                      ("best_epoch", "best_test", "elapsed_s")}))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,12 +45,54 @@ def main():
                     help="cap the number of users trained/evaluated "
                          "(host->device batch transfer over the dev tunnel "
                          "is the bottleneck at this geometry)")
+    ap.add_argument("--train-steps", type=int, default=None,
+                    help="steps-only mode: build + shard the full-geometry "
+                         "model (row-sharded user/item tables, sharded "
+                         "lookup) and take N real optimizer steps on "
+                         "synthetic batches — no eval, no full-dataset "
+                         "materialization. This is the 10M-user / 1M-item "
+                         "BASELINE.md target mode.")
     args = ap.parse_args()
 
     from gdmcf_tpu.config import Config
     from gdmcf_tpu.train.trainer import Trainer
 
     rng = np.random.default_rng(0)
+
+    if args.train_steps:
+        import jax
+        import jax.numpy as jnp
+
+        cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[args.dims],
+                     emb_size=10, steps=5, noise_scale=0.01,
+                     batch_size=args.batch, topN=[10, 20], lr=1e-4,
+                     debug=True, sampling_steps=0, host_dense=False,
+                     mesh_dp=args.mesh_dp, mesh_mp=args.mesh_mp)
+        print(f"building trainer for {args.users} x {args.items}, "
+              f"dims [{args.dims}], mesh ({args.mesh_dp},{args.mesh_mp})")
+        trainer = Trainer(cfg, args.users, args.items)
+        t0 = time.time()
+        state = trainer.init_state()
+        ut = state.params["embedding_user"]
+        print(f"init {time.time()-t0:.1f}s; user table {ut.shape} "
+              f"sharded over {len(ut.sharding.device_set)} device(s): "
+              f"{ut.sharding}")
+        losses = []
+        for step in range(args.train_steps):
+            x = (rng.random((args.batch, args.items)) < 1e-4
+                 ).astype(np.float32)
+            idx = rng.integers(0, args.users, args.batch).astype(np.int32)
+            xs, idxs = trainer._put_batch(jnp.asarray(x), jnp.asarray(idx))
+            t1 = time.time()
+            state, loss = trainer._train_step(state, xs, idxs)
+            loss = float(loss)  # value fetch: forces execution
+            losses.append(loss)
+            print(f"step {step}: loss {loss:.4f} "
+                  f"({time.time()-t1:.1f}s)", flush=True)
+        assert all(np.isfinite(losses)), losses
+        print(f"scale steps-only ok: {args.train_steps} steps, "
+              f"total {time.time()-t0:.1f}s")
+        return
     print(f"building synthetic CSR {args.users} x {args.items} ...")
     train = synthetic_csr(rng, args.users, args.items)
     valid = synthetic_csr(rng, args.users, args.items, avg_degree=2)
