@@ -30,8 +30,8 @@ TORCH_CPU_BASELINE_EPS = 239.5
 N_USER, N_ITEM = 5949, 2810
 
 
-def measure(batch=1024, iters=100, warmup=5, seed=0, rng_impl="threefry2x32",
-            steps_per_call=20, param_dtype="float32"):
+def measure(batch=1024, iters=200, warmup=5, seed=0, rng_impl="rbg",
+            steps_per_call=100, param_dtype="float32"):
     """Steady-state training throughput. Methodology for relayed/dev
     backends where async timing lies (block_until_ready is a no-op and
     repeated identical calls can be elided):
@@ -115,13 +115,17 @@ def measure_infer(batch=1024, iters=20, warmup=3, seed=0, top_k=100):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=100)
+    # defaults = the measured-best round-2 config (docs/BENCH_NOTES.md sweep):
+    # 100 fused steps/dispatch amortize the relay's ~2.5 ms launch floor, the
+    # hardware RNG wins ~5% on the big per-step bernoulli/normal draws, and
+    # f32 params beat bf16+master at this model size (34 MB of params).
+    ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--metric", choices=["train", "infer"], default="train")
     ap.add_argument("--measure-baseline", action="store_true")
-    ap.add_argument("--rng", default="threefry2x32",
+    ap.add_argument("--rng", default="rbg",
                     choices=["threefry2x32", "rbg"])
-    ap.add_argument("--steps-per-call", type=int, default=20)
+    ap.add_argument("--steps-per-call", type=int, default=100)
     ap.add_argument("--param-dtype", default="float32",
                     choices=["float32", "bfloat16"])
     args = ap.parse_args()

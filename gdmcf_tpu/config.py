@@ -133,6 +133,9 @@ class Config:
     # (each launch costs ~2.5 ms through the dev relay; also a real win on
     # hardware). The per-epoch remainder runs as single steps.
     train_steps_per_call: int = 1
+    # fuse K eval batches into one compiled program (lax.scan): identical
+    # results (same per-batch key order), K-fold fewer eval dispatches
+    eval_batches_per_call: int = 1
     # checkpointing
     ckpt_dir: Optional[str] = None
     resume: bool = False

@@ -174,6 +174,7 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
              batch_size: int = 1024, lr: float = 0.005, decay: float = 1e-4,
              k: int = 10, seed: int = 0, log=print,
              sparse: "bool | None" = None, block_size: int = 128,
+             block_rows: "int | None" = None,
              spmm_interpret: bool = False,
              evaluate: bool = True) -> LightGCNResult:
     """Full pretraining loop (ref lightGCN.py:253-365): Adam + BPR, per-epoch
@@ -199,8 +200,8 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
     # embed the whole adjacency as a program constant (oversized compiles)
     if sparse:
         from gdmcf_tpu.ops.spmm import block_sparse_arrays, block_sparse_meta
-        n_bs, nt_bs = normalized_bipartite_sparse(train_csr, br=block_size,
-                                                  bc=block_size)
+        n_bs, nt_bs = normalized_bipartite_sparse(
+            train_csr, br=block_rows or block_size, bc=block_size)
         n_meta, nt_meta = block_sparse_meta(n_bs), block_sparse_meta(nt_bs)
         prop_args = (block_sparse_arrays(n_bs), block_sparse_arrays(nt_bs))
 

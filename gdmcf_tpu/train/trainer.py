@@ -73,6 +73,8 @@ class Trainer:
         self._train_multi = jax.jit(self._train_multi_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl,
                                   static_argnames=("sampling_steps", "top_k"))
+        self._eval_multi = jax.jit(self._eval_multi_impl,
+                                   static_argnames=("sampling_steps", "top_k"))
 
     # ------------------------------------------------------------------
     def init_state(self) -> TrainState:
@@ -228,6 +230,22 @@ class Trainer:
             _, idx = jax.lax.top_k(scores, top_k)
         return idx
 
+    def _eval_multi_impl(self, params, xs, idxs, masks, keys,
+                         sampling_steps: int, top_k: int):
+        """K eval batches fused into one program (lax.scan over stacked
+        batches) — same math as K _eval_step calls, K-fold fewer dispatches.
+        The large-catalog eval loop (e.g. 97 batches at the 100k-user
+        geometry) pays one launch instead of 97."""
+
+        def body(_, inp):
+            x, idx, mask, key = inp
+            out = self._eval_step_impl(params, x, idx, mask, key,
+                                       sampling_steps, top_k)
+            return None, out
+
+        _, idx = jax.lax.scan(body, None, (xs, idxs, masks, keys))
+        return idx
+
     def evaluate(self, state: TrainState, eval_rows: np.ndarray,
                  gt_matrix: np.ndarray, mask_matrix: np.ndarray,
                  topn, key: Optional[jax.Array] = None):
@@ -244,13 +262,39 @@ class Trainer:
         all_idx = []
         kept_users = []
         top_k = int(topn[-1])
-        for start, rows, uids, mask in cached:
+        # one key per batch, split in batch order — identical results whether
+        # batches run singly or fused (tested)
+        subs = []
+        for _ in cached:
             key, sub = jax.random.split(key)
-            idx = self._eval_step(state.params, rows, uids, mask, sub,
-                                  sampling_steps=cfg.sampling_steps,
-                                  top_k=top_k)
-            all_idx.append(np.asarray(idx))
-            kept_users.append(np.arange(start, start + rows.shape[0]))
+            subs.append(sub)
+        k_fuse = max(getattr(cfg, "eval_batches_per_call", 1), 1)
+        i = 0
+        while i < len(cached):
+            group = cached[i:i + k_fuse]
+            # only fuse equal-shape (full) batches; the trailing partial
+            # batch (if any) runs alone
+            if (k_fuse > 1 and len(group) > 1
+                    and all(g[1].shape == group[0][1].shape for g in group)):
+                xs = jnp.stack([g[1] for g in group])
+                us = jnp.stack([g[2] for g in group])
+                ms = jnp.stack([g[3] for g in group])
+                ks = jnp.stack(subs[i:i + len(group)])
+                idx = self._eval_multi(state.params, xs, us, ms, ks,
+                                       sampling_steps=cfg.sampling_steps,
+                                       top_k=top_k)
+                for j, (start, rows, _u, _m) in enumerate(group):
+                    all_idx.append(np.asarray(idx[j]))
+                    kept_users.append(np.arange(start, start + rows.shape[0]))
+                i += len(group)
+            else:
+                start, rows, uids, mask = cached[i]
+                idx = self._eval_step(state.params, rows, uids, mask, subs[i],
+                                      sampling_steps=cfg.sampling_steps,
+                                      top_k=top_k)
+                all_idx.append(np.asarray(idx))
+                kept_users.append(np.arange(start, start + rows.shape[0]))
+                i += 1
         pred = np.concatenate(all_idx, axis=0)
         users = np.concatenate(kept_users)
         return compute_topn_accuracy(gt_matrix[users], pred, topn)

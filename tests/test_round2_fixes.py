@@ -223,3 +223,25 @@ def test_bf16_master_accumulates_small_updates():
     assert np.abs(m1 - m0).max() > 0  # master always accumulates
     p1 = np.asarray(state.params["in_layers"][0]["w"], dtype=np.float32)
     assert np.abs(p1 - p0).max() > 0  # and storage follows the master
+
+
+# ---------------------------------------------------------------------------
+# fused eval batches
+# ---------------------------------------------------------------------------
+
+def test_eval_batches_per_call_identical_results():
+    """evaluate() with eval_batches_per_call=4 must return exactly the
+    sequential path's metrics (same per-batch key order, fused via scan)."""
+    rng = np.random.default_rng(0)
+    n_user, n_item = 40, 20
+    rows = (rng.random((n_user, n_item)) < 0.3).astype(np.float32)
+    gt = (rng.random((n_user, n_item)) < 0.1).astype(np.float32)
+    kw = dict(backbone="DNNOneHotEmbeddingGCN", dims=[12], emb_size=10,
+              steps=5, noise_scale=0.01, batch_size=8, sampling_steps=0,
+              topN=[5, 10], drop_last=False)
+    t_seq = Trainer(Config(**kw), n_user, n_item)
+    t_fused = Trainer(Config(eval_batches_per_call=4, **kw), n_user, n_item)
+    state = t_seq.init_state()
+    r_seq = t_seq.evaluate(state, rows, gt, rows, [5, 10])
+    r_fused = t_fused.evaluate(state, rows, gt, rows, [5, 10])
+    np.testing.assert_array_equal(np.asarray(r_seq), np.asarray(r_fused))
