@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--n-layers", type=int, default=2)
     ap.add_argument("--br", type=int, default=8)
     ap.add_argument("--bc", type=int, default=128)
+    ap.add_argument("--format", choices=["block", "hybrid"], default="block",
+                    help="block = pure block-CSR tiles; hybrid = tiles + COO "
+                         "remainder (3.3x less tile memory at this geometry)")
     args = ap.parse_args()
 
     from scale_smoke import synthetic_csr
@@ -57,7 +60,8 @@ def main():
     t0 = time.time()
     result = pretrain(m, m, n_layers=args.n_layers,
                       latent_dim=args.latent_dim, epochs=args.epochs,
-                      batch_size=args.batch, seed=0, sparse=True,
+                      batch_size=args.batch, seed=0,
+                      sparse="hybrid" if args.format == "hybrid" else True,
                       block_size=args.bc, block_rows=args.br,
                       evaluate=False, log=lambda s: print(s, flush=True))
     dt = time.time() - t0

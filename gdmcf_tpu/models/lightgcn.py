@@ -98,6 +98,57 @@ def normalized_bipartite_sparse(train_csr: sp.spmatrix, br: int = 128,
     return n_bs, nt_bs
 
 
+def normalized_bipartite_hybrid(train_csr: sp.spmatrix, br: int = 8,
+                                bc: int = 128, min_fill: int = 4,
+                                eps: float = 1e-9,
+                                max_bytes: int = 8 << 30,
+                                degree_sort: bool = False):
+    """Hybrid tile+COO normalized adjacency (ops/spmm.HybridSparse) — the
+    low-fill large-graph regime where even thin block tiles waste memory.
+    Same normalization as normalized_bipartite_sparse."""
+    from gdmcf_tpu.ops.spmm import degree_sort_permutation, to_hybrid
+
+    r = train_csr.tocsr().astype(np.float32)
+    deg_u = np.asarray(r.sum(axis=1)).ravel()
+    deg_i = np.asarray(r.sum(axis=0)).ravel()
+    du = np.power(deg_u + eps, -0.5)
+    di = np.power(deg_i + eps, -0.5)
+    du[np.isinf(du)] = 0.0
+    di[np.isinf(di)] = 0.0
+    n = sp.diags(du) @ r @ sp.diags(di)
+    perms = None
+    if degree_sort:
+        row_perm, col_perm = degree_sort_permutation(n)
+        n = n.tocsr()[row_perm][:, col_perm]
+        perms = (row_perm, col_perm)
+    h = to_hybrid(n, br=br, bc=bc, min_fill=min_fill, max_bytes=max_bytes)
+    return (h, perms) if degree_sort else h
+
+
+def propagate_hybrid(e_user: jnp.ndarray, e_item: jnp.ndarray,
+                     meta, arrays, n_layers: int,
+                     interpret: bool = False
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``propagate`` on the hybrid tile+COO operand (differentiable).
+
+    The same N serves both directions: A@x via the kept tiles + remainder,
+    A^T@x via transpose=True (swapped tile pair, swapped COO indices).
+    """
+    from gdmcf_tpu.ops.spmm import hybrid_spmm
+
+    n_user, n_item = e_user.shape[0], e_item.shape[0]
+    us, its = [e_user], [e_item]
+    u, i = e_user, e_item
+    for _ in range(n_layers):
+        u, i = (hybrid_spmm(meta, arrays, i, transpose=False,
+                            interpret=interpret)[:n_user],
+                hybrid_spmm(meta, arrays, u, transpose=True,
+                            interpret=interpret)[:n_item])
+        us.append(u)
+        its.append(i)
+    return (sum(us) / (n_layers + 1), sum(its) / (n_layers + 1))
+
+
 def propagate_sparse(e_user: jnp.ndarray, e_item: jnp.ndarray,
                      n_meta, nt_meta, n_arrays, nt_arrays,
                      n_layers: int, interpret: bool = False
@@ -184,7 +235,9 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
     ``sparse``: propagate on the Pallas block-CSR SpMM instead of the dense
     normalized blocks (the large-graph path — the reference's
     ``torch.sparse.mm``, lightGCN.py:176-194). ``None`` auto-selects sparse
-    once the dense [n_user, n_item] matrix would exceed 2 GiB.
+    once the dense [n_user, n_item] matrix would exceed 2 GiB; the string
+    ``"hybrid"`` uses the tile+COO-remainder format (ops/spmm.HybridSparse)
+    for low-fill graphs.
     ``evaluate=False`` skips the dense-scoring eval (mandatory at scales where
     the [n_user, n_item] score matrix cannot materialize; returns the final,
     not best-NDCG, embeddings).
@@ -198,7 +251,18 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
         sparse = n_user * n_item * 4 > (2 << 30)
     # propagation operands ride as jit ARGUMENTS — closing over them would
     # embed the whole adjacency as a program constant (oversized compiles)
-    if sparse:
+    if sparse == "hybrid":
+        from gdmcf_tpu.ops.spmm import hybrid_arrays, hybrid_meta
+        h = normalized_bipartite_hybrid(train_csr,
+                                        br=block_rows or 8, bc=block_size)
+        h_meta = hybrid_meta(h)
+        prop_args = hybrid_arrays(h)
+
+        def prop(e0, prop_args):
+            return propagate_hybrid(e0[:n_user], e0[n_user:], h_meta,
+                                    prop_args, n_layers,
+                                    interpret=spmm_interpret)
+    elif sparse:
         from gdmcf_tpu.ops.spmm import block_sparse_arrays, block_sparse_meta
         n_bs, nt_bs = normalized_bipartite_sparse(
             train_csr, br=block_rows or block_size, bc=block_size)

@@ -362,6 +362,30 @@ class Trainer:
                 out = np.clip(out + c.gather(idx), 0.0, 1.0)
             return out
 
+        k_fuse = max(getattr(cfg, "eval_batches_per_call", 1), 1)
+        pending = []  # (gt, rows, uids, mask, sub) for equal-shape batches
+
+        def flush():
+            if not pending:
+                return
+            if len(pending) == 1:
+                gt, rows, uids, mask, sub = pending[0]
+                pred = self._eval_step(state.params, rows, uids, mask, sub,
+                                       sampling_steps=cfg.sampling_steps,
+                                       top_k=top_k)
+                acc.add(gt, np.asarray(pred))
+            else:
+                xs = jnp.stack([p[1] for p in pending])
+                us = jnp.stack([p[2] for p in pending])
+                ms = jnp.stack([p[3] for p in pending])
+                ks = jnp.stack([p[4] for p in pending])
+                preds = self._eval_multi(state.params, xs, us, ms, ks,
+                                         sampling_steps=cfg.sampling_steps,
+                                         top_k=top_k)
+                for j, p in enumerate(pending):
+                    acc.add(p[0], np.asarray(preds[j]))
+            pending.clear()
+
         for start in range(0, stop, bs):
             idx = np.arange(start, min(start + bs, n), dtype=np.int32)
             rows = jnp.asarray(union(input_csrs, idx))
@@ -370,10 +394,12 @@ class Trainer:
             rows, uids = self._put_batch(rows, jnp.asarray(idx))
             mask, _ = self._put_batch(mask, uids)
             key, sub = jax.random.split(key)
-            pred = self._eval_step(state.params, rows, uids, mask, sub,
-                                   sampling_steps=cfg.sampling_steps,
-                                   top_k=top_k)
-            acc.add(gt, np.asarray(pred))
+            if pending and pending[0][1].shape != rows.shape:
+                flush()  # trailing partial batch runs alone
+            pending.append((gt, rows, uids, mask, sub))
+            if len(pending) == k_fuse:
+                flush()
+        flush()
         return acc.result()
 
     # ------------------------------------------------------------------

@@ -208,3 +208,17 @@ def test_dnn_lightgcn_sparse_adj_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(p_s["frozen_lgn_item"]),
                                np.asarray(p_d["frozen_lgn_item"]),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_pretrain_hybrid_matches_dense(rng):
+    csr = random_csr(rng, 30, 24, p=0.25)
+    test = random_csr(rng, 30, 24, p=0.1)
+    kw = dict(n_layers=2, latent_dim=8, epochs=2, batch_size=16, seed=0,
+              log=lambda *a: None)
+    res_d = pretrain(csr, test, sparse=False, **kw)
+    res_h = pretrain(csr, test, sparse="hybrid", block_size=16, block_rows=8,
+                     spmm_interpret=True, **kw)
+    np.testing.assert_allclose(res_h.final_user, res_d.final_user,
+                               rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(res_h.final_item, res_d.final_item,
+                               rtol=5e-3, atol=5e-4)

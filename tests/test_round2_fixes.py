@@ -245,3 +245,25 @@ def test_eval_batches_per_call_identical_results():
     r_seq = t_seq.evaluate(state, rows, gt, rows, [5, 10])
     r_fused = t_fused.evaluate(state, rows, gt, rows, [5, 10])
     np.testing.assert_array_equal(np.asarray(r_seq), np.asarray(r_fused))
+
+
+def test_streaming_eval_fusion_identical():
+    """evaluate_streaming with eval_batches_per_call=3 == sequential."""
+    import scipy.sparse as sp
+    from gdmcf_tpu.data.native import NativeCSR
+
+    rng = np.random.default_rng(2)
+    n_user, n_item = 40, 20
+    train = sp.csr_matrix((rng.random((n_user, n_item)) < 0.3).astype(np.float32))
+    gt = sp.csr_matrix((rng.random((n_user, n_item)) < 0.1).astype(np.float32))
+    kw = dict(backbone="DNNOneHotEmbeddingGCN", dims=[12], emb_size=10,
+              steps=5, noise_scale=0.01, batch_size=8, sampling_steps=0,
+              topN=[5, 10], drop_last=False, host_dense=False)
+    t_seq = Trainer(Config(**kw), n_user, n_item)
+    t_fused = Trainer(Config(eval_batches_per_call=3, **kw), n_user, n_item)
+    state = t_seq.init_state()
+    tn = NativeCSR.from_scipy(train)
+    gn = NativeCSR.from_scipy(gt)
+    r_seq = t_seq.evaluate_streaming(state, [tn], gn, [tn], [5, 10])
+    r_fused = t_fused.evaluate_streaming(state, [tn], gn, [tn], [5, 10])
+    np.testing.assert_array_equal(np.asarray(r_seq), np.asarray(r_fused))

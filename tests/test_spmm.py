@@ -119,3 +119,74 @@ def test_duplicate_coo_entries_sum(rng):
     y = np.asarray(spmm_reference(a, jnp.asarray(x)))
     assert y[0, 5] == 2.0  # duplicates summed, matching csr canonical form
     assert y[3, 7] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# hybrid tile + COO remainder format
+# ---------------------------------------------------------------------------
+
+def test_hybrid_matches_dense(rng):
+    import jax.numpy as jnp
+
+    from gdmcf_tpu.ops.spmm import hybrid_arrays, hybrid_meta, hybrid_spmm, to_hybrid
+
+    n_r, n_c, d = 60, 40, 8
+    dense = np.where(rng.random((n_r, n_c)) < 0.15,
+                     rng.standard_normal((n_r, n_c)), 0.0).astype(np.float32)
+    h = to_hybrid(sp.csr_matrix(dense), br=8, bc=16, min_fill=20)
+    assert h.rem_vals.shape[0] > 0          # some tiles went to COO...
+    assert h.tiles.blocks.shape[0] > 1      # ...and some stayed dense
+    x = rng.standard_normal((n_c, d)).astype(np.float32)
+    y = np.asarray(hybrid_spmm(hybrid_meta(h), hybrid_arrays(h),
+                               jnp.asarray(x), interpret=True))[:n_r]
+    np.testing.assert_allclose(y, dense @ x, rtol=2e-4, atol=2e-5)
+    # transpose direction
+    xu = rng.standard_normal((n_r, d)).astype(np.float32)
+    yt = np.asarray(hybrid_spmm(hybrid_meta(h), hybrid_arrays(h),
+                                jnp.asarray(xu), transpose=True,
+                                interpret=True))[:n_c]
+    np.testing.assert_allclose(yt, dense.T @ xu, rtol=2e-4, atol=2e-5)
+
+
+def test_hybrid_gradients_match_dense(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from gdmcf_tpu.ops.spmm import hybrid_arrays, hybrid_meta, hybrid_spmm, to_hybrid
+
+    n_r, n_c, d = 40, 24, 4
+    dense = np.where(rng.random((n_r, n_c)) < 0.2,
+                     rng.standard_normal((n_r, n_c)), 0.0).astype(np.float32)
+    h = to_hybrid(sp.csr_matrix(dense), br=8, bc=8, min_fill=2)
+    meta, arrays = hybrid_meta(h), hybrid_arrays(h)
+    w = rng.standard_normal((n_r, d)).astype(np.float32)
+    x0 = jnp.asarray(rng.standard_normal((n_c, d)).astype(np.float32))
+
+    def loss_h(x):
+        return (hybrid_spmm(meta, arrays, x, interpret=True)[:n_r]
+                * w).sum()
+
+    def loss_d(x):
+        return (jnp.asarray(dense) @ x * w).sum()
+
+    g_h = np.asarray(jax.grad(loss_h)(x0))
+    g_d = np.asarray(jax.grad(loss_d)(x0))
+    np.testing.assert_allclose(g_h, g_d, rtol=2e-4, atol=2e-4)
+
+
+def test_hybrid_all_tiles_kept_and_all_remainder(rng):
+    """Degenerate splits: min_fill=1 (no remainder) and huge min_fill
+    (everything COO) both reproduce the dense product."""
+    import jax.numpy as jnp
+
+    from gdmcf_tpu.ops.spmm import hybrid_arrays, hybrid_meta, hybrid_spmm, to_hybrid
+
+    n_r, n_c, d = 24, 16, 4
+    dense = np.where(rng.random((n_r, n_c)) < 0.3,
+                     rng.standard_normal((n_r, n_c)), 0.0).astype(np.float32)
+    x = rng.standard_normal((n_c, d)).astype(np.float32)
+    for min_fill in (1, 10_000):
+        h = to_hybrid(sp.csr_matrix(dense), br=8, bc=8, min_fill=min_fill)
+        y = np.asarray(hybrid_spmm(hybrid_meta(h), hybrid_arrays(h),
+                                   jnp.asarray(x), interpret=True))[:n_r]
+        np.testing.assert_allclose(y, dense @ x, rtol=2e-4, atol=2e-5)
