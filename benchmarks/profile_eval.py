@@ -13,6 +13,8 @@ Run:  python benchmarks/profile_eval.py [--rng rbg]
 from __future__ import annotations
 
 import argparse
+import sys
+sys.path.insert(0, "/root/repo")  # runnable without PYTHONPATH
 import time
 
 import numpy as np

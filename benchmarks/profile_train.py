@@ -10,6 +10,8 @@ Run:  PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/profile_train.py
 from __future__ import annotations
 
 import time
+import sys
+sys.path.insert(0, "/root/repo")  # runnable without PYTHONPATH
 
 import numpy as np
 

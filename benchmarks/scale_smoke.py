@@ -14,6 +14,8 @@ Prints steady-state examples/s and one eval's metrics.
 from __future__ import annotations
 
 import argparse
+import sys
+sys.path.insert(0, "/root/repo")  # runnable without PYTHONPATH
 import time
 
 import numpy as np

@@ -16,6 +16,8 @@ efficiency numbers).
 from __future__ import annotations
 
 import argparse
+import sys
+sys.path.insert(0, "/root/repo")  # runnable without PYTHONPATH
 import json
 import time
 

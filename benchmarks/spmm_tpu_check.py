@@ -10,6 +10,8 @@ Run:  PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/spmm_tpu_check.py
 from __future__ import annotations
 
 import time
+import sys
+sys.path.insert(0, "/root/repo")  # runnable without PYTHONPATH
 
 import numpy as np
 import scipy.sparse as sp
@@ -21,23 +23,26 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from gdmcf_tpu.ops.spmm import BlockSparse, spmm, spmm_reference, to_block_sparse
+    from gdmcf_tpu.ops.spmm import (_rebuild, block_sparse_arrays,
+                                    block_sparse_meta, spmm, spmm_reference,
+                                    to_block_sparse)
 
     rng = np.random.RandomState(0)
 
-    def jit_spmm(a, fn=spmm):
+    def jit_spmm(a, fn=spmm, transpose=False):
         """Pass the sparse arrays as jit ARGUMENTS: closing over them embeds
         hundreds of MB of constants in the program (the remote-compile
         endpoint rejects such payloads with HTTP 413)."""
-        shape, br, bc = a.shape, a.br, a.bc
+        meta = block_sparse_meta(a)
 
         @functools.partial(jax.jit)
-        def run(blocks, cols, ptr, x):
-            return fn(BlockSparse(blocks, cols, ptr, shape, br, bc), x)
+        def run(arrays, x):
+            return fn(_rebuild(meta, arrays), x, transpose=transpose)
 
-        return lambda x: run(a.blocks, a.block_cols, a.row_ptr, x)
+        arrays = block_sparse_arrays(a)
+        return lambda x: run(arrays, x)
 
-    # correctness at a few geometries
+    # correctness at a few geometries, forward and transpose (CSC view)
     for (rows, cols, density) in [(512, 512, 0.02), (2048, 1024, 0.005),
                                   (1024, 4096, 0.01)]:
         m = sp.random(rows, cols, density=density, random_state=rng,
@@ -47,10 +52,15 @@ def main():
         y = np.asarray(jit_spmm(a)(jnp.asarray(x)))
         expect = m.toarray() @ x
         err = np.abs(y[:rows] - expect).max() / max(np.abs(expect).max(), 1e-6)
+        xt = rng.randn(rows, 128).astype(np.float32)
+        yt = np.asarray(jit_spmm(a, transpose=True)(jnp.asarray(xt)))
+        expect_t = m.toarray().T @ xt
+        err_t = np.abs(yt[:cols] - expect_t).max() / max(
+            np.abs(expect_t).max(), 1e-6)
         # TPU MXU default pass carries bf16 mantissas -> ~1e-3 relative
-        status = "OK" if err < 5e-3 else "FAIL"
-        print(f"[{status}] {rows}x{cols} d={density}: max rel err {err:.2e}",
-              flush=True)
+        status = "OK" if err < 5e-3 and err_t < 5e-3 else "FAIL"
+        print(f"[{status}] {rows}x{cols} d={density}: max rel err {err:.2e} "
+              f"(fwd) {err_t:.2e} (transpose)", flush=True)
 
     # micro-bench: LightGCN-propagation-like shape on a POWER-LAW bipartite
     # graph, degree-sorted so nonzeros cluster into the leading tiles — the

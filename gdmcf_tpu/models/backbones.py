@@ -527,11 +527,11 @@ def dnn_lightgcn(in_dims, out_dims, emb_size, n_user, n_item,
     raw init embeddings are used (0 propagation layers).
 
     ``sparse_adj``: large-graph alternative to ``norm_adj`` — a
-    ``(n_bs, nt_bs)`` BlockSparse pair from
+    ``(block_sparse,)`` or ``(block_sparse, interpret)`` tuple from
     ``models/lightgcn.normalized_bipartite_sparse``; the init-time
-    propagation then runs on the Pallas SpMM and nothing
-    [n_user, n_item]-dense materializes (the reference equivalent is
-    ``torch.sparse.mm``, /root/reference/lightGCN.py:176-194).
+    propagation then runs on the Pallas SpMM (CSC view for the transpose
+    direction) and nothing [n_user, n_item]-dense materializes (the
+    reference equivalent is ``torch.sparse.mm``, lightGCN.py:176-194).
     """
     assert out_dims[0] == in_dims[-1]
     in_t = _tower_dims(in_dims, emb_size)
@@ -544,12 +544,11 @@ def dnn_lightgcn(in_dims, out_dims, emb_size, n_user, n_item,
             from gdmcf_tpu.models.lightgcn import propagate_sparse
             from gdmcf_tpu.ops.spmm import (block_sparse_arrays,
                                             block_sparse_meta)
-            n_bs, nt_bs = sparse_adj[0], sparse_adj[1]
-            interp = sparse_adj[2] if len(sparse_adj) > 2 else False
+            n_bs = sparse_adj[0]
+            interp = sparse_adj[1] if len(sparse_adj) > 1 else False
             e_user, e_item = propagate_sparse(
                 e_user, e_item, block_sparse_meta(n_bs),
-                block_sparse_meta(nt_bs), block_sparse_arrays(n_bs),
-                block_sparse_arrays(nt_bs), lgn_layers, interpret=interp)
+                block_sparse_arrays(n_bs), lgn_layers, interpret=interp)
         elif norm_adj is not None:
             r_ui = jnp.asarray(norm_adj[0])
             us, its = [e_user], [e_item]

@@ -60,11 +60,31 @@ def propagate(e_user: jnp.ndarray, e_item: jnp.ndarray, n_mat: jnp.ndarray,
     return (sum(us) / (n_layers + 1), sum(its) / (n_layers + 1))
 
 
+def _normalized_sparse_n(train_csr: sp.spmatrix, eps: float,
+                         degree_sort: bool):
+    r = train_csr.tocsr().astype(np.float32)
+    deg_u = np.asarray(r.sum(axis=1)).ravel()
+    deg_i = np.asarray(r.sum(axis=0)).ravel()
+    du = np.power(deg_u + eps, -0.5)
+    di = np.power(deg_i + eps, -0.5)
+    du[np.isinf(du)] = 0.0
+    di[np.isinf(di)] = 0.0
+    n = sp.diags(du) @ r @ sp.diags(di)
+    perms = None
+    if degree_sort:
+        from gdmcf_tpu.ops.spmm import degree_sort_permutation
+        row_perm, col_perm = degree_sort_permutation(n)
+        n = n.tocsr()[row_perm][:, col_perm]
+        perms = (row_perm, col_perm)
+    return n, perms
+
+
 def normalized_bipartite_sparse(train_csr: sp.spmatrix, br: int = 128,
                                 bc: int = 128, eps: float = 1e-9,
                                 max_bytes: int = 8 << 30,
                                 degree_sort: bool = False):
-    """O(nnz) sparse N = D_u^{-1/2} R D_i^{-1/2} as a (N, N^T) block pair.
+    """O(nnz) sparse N = D_u^{-1/2} R D_i^{-1/2} as ONE BlockSparse (the
+    CSC view inside it serves the N^T direction — no transposed copy).
 
     The scale path of ``normalized_bipartite_blocks``: nothing
     [n_user, n_item]-dense ever materializes (at the 10M x 1M BASELINE target
@@ -76,26 +96,11 @@ def normalized_bipartite_sparse(train_csr: sp.spmatrix, br: int = 128,
     fill (see ops/spmm.degree_sort_permutation); embeddings must be permuted
     to match and un-permuted afterwards.
     """
-    from gdmcf_tpu.ops.spmm import degree_sort_permutation, to_block_sparse
+    from gdmcf_tpu.ops.spmm import to_block_sparse
 
-    r = train_csr.tocsr().astype(np.float32)
-    deg_u = np.asarray(r.sum(axis=1)).ravel()
-    deg_i = np.asarray(r.sum(axis=0)).ravel()
-    du = np.power(deg_u + eps, -0.5)
-    di = np.power(deg_i + eps, -0.5)
-    du[np.isinf(du)] = 0.0
-    di[np.isinf(di)] = 0.0
-    n = sp.diags(du) @ r @ sp.diags(di)
-    perms = None
-    if degree_sort:
-        row_perm, col_perm = degree_sort_permutation(n)
-        n = n.tocsr()[row_perm][:, col_perm]
-        perms = (row_perm, col_perm)
+    n, perms = _normalized_sparse_n(train_csr, eps, degree_sort)
     n_bs = to_block_sparse(n, br, bc, max_bytes)
-    nt_bs = to_block_sparse(n.T.tocsr(), bc, br, max_bytes)
-    if degree_sort:
-        return n_bs, nt_bs, perms
-    return n_bs, nt_bs
+    return (n_bs, perms) if degree_sort else n_bs
 
 
 def normalized_bipartite_hybrid(train_csr: sp.spmatrix, br: int = 8,
@@ -106,21 +111,9 @@ def normalized_bipartite_hybrid(train_csr: sp.spmatrix, br: int = 8,
     """Hybrid tile+COO normalized adjacency (ops/spmm.HybridSparse) — the
     low-fill large-graph regime where even thin block tiles waste memory.
     Same normalization as normalized_bipartite_sparse."""
-    from gdmcf_tpu.ops.spmm import degree_sort_permutation, to_hybrid
+    from gdmcf_tpu.ops.spmm import to_hybrid
 
-    r = train_csr.tocsr().astype(np.float32)
-    deg_u = np.asarray(r.sum(axis=1)).ravel()
-    deg_i = np.asarray(r.sum(axis=0)).ravel()
-    du = np.power(deg_u + eps, -0.5)
-    di = np.power(deg_i + eps, -0.5)
-    du[np.isinf(du)] = 0.0
-    di[np.isinf(di)] = 0.0
-    n = sp.diags(du) @ r @ sp.diags(di)
-    perms = None
-    if degree_sort:
-        row_perm, col_perm = degree_sort_permutation(n)
-        n = n.tocsr()[row_perm][:, col_perm]
-        perms = (row_perm, col_perm)
+    n, perms = _normalized_sparse_n(train_csr, eps, degree_sort)
     h = to_hybrid(n, br=br, bc=bc, min_fill=min_fill, max_bytes=max_bytes)
     return (h, perms) if degree_sort else h
 
@@ -150,25 +143,23 @@ def propagate_hybrid(e_user: jnp.ndarray, e_item: jnp.ndarray,
 
 
 def propagate_sparse(e_user: jnp.ndarray, e_item: jnp.ndarray,
-                     n_meta, nt_meta, n_arrays, nt_arrays,
-                     n_layers: int, interpret: bool = False
+                     meta, arrays, n_layers: int, interpret: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """``propagate`` on the Pallas block-sparse kernel (differentiable).
 
-    n/nt: metadata + arrays of the (N, N^T) pair from
-    ``normalized_bipartite_sparse`` (split with ops.spmm.block_sparse_meta /
-    block_sparse_arrays so the matrices ride as jit arguments).
+    meta/arrays: the single N operand from ``normalized_bipartite_sparse``
+    (split with ops.spmm.block_sparse_meta / block_sparse_arrays so the
+    matrix rides as jit arguments); the N^T direction runs on the same tile
+    storage via the kernel's CSC view (transpose=True).
     """
-    from gdmcf_tpu.ops.spmm import spmm_pair
+    from gdmcf_tpu.ops.spmm import spmm_op
 
     n_user, n_item = e_user.shape[0], e_item.shape[0]
     us, its = [e_user], [e_item]
     u, i = e_user, e_item
     for _ in range(n_layers):
-        u, i = (spmm_pair(n_meta, nt_meta, interpret,
-                          n_arrays, nt_arrays, i)[:n_user],
-                spmm_pair(nt_meta, n_meta, interpret,
-                          nt_arrays, n_arrays, u)[:n_item])
+        u, i = (spmm_op(meta, False, interpret, arrays, i)[:n_user],
+                spmm_op(meta, True, interpret, arrays, u)[:n_item])
         us.append(u)
         its.append(i)
     return (sum(us) / (n_layers + 1), sum(its) / (n_layers + 1))
@@ -264,15 +255,14 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
                                     interpret=spmm_interpret)
     elif sparse:
         from gdmcf_tpu.ops.spmm import block_sparse_arrays, block_sparse_meta
-        n_bs, nt_bs = normalized_bipartite_sparse(
+        n_bs = normalized_bipartite_sparse(
             train_csr, br=block_rows or block_size, bc=block_size)
-        n_meta, nt_meta = block_sparse_meta(n_bs), block_sparse_meta(nt_bs)
-        prop_args = (block_sparse_arrays(n_bs), block_sparse_arrays(nt_bs))
+        n_meta = block_sparse_meta(n_bs)
+        prop_args = block_sparse_arrays(n_bs)
 
         def prop(e0, prop_args):
-            na, nta = prop_args
-            return propagate_sparse(e0[:n_user], e0[n_user:], n_meta, nt_meta,
-                                    na, nta, n_layers,
+            return propagate_sparse(e0[:n_user], e0[n_user:], n_meta,
+                                    prop_args, n_layers,
                                     interpret=spmm_interpret)
     else:
         prop_args = jnp.asarray(normalized_bipartite_blocks(train_csr))

@@ -82,7 +82,7 @@ def build_model(cfg, n_user: int, n_item: int, train_csr=None,
             # Pallas block-CSR once the dense [n_user, n_item] would be large
             if n_user * n_item * 4 > (2 << 30):
                 from gdmcf_tpu.models.lightgcn import normalized_bipartite_sparse
-                sparse_adj = normalized_bipartite_sparse(train_csr)
+                sparse_adj = (normalized_bipartite_sparse(train_csr),)
             else:
                 from gdmcf_tpu.models.lightgcn import normalized_bipartite_blocks
                 n_mat = normalized_bipartite_blocks(train_csr)

@@ -1,4 +1,4 @@
-"""Block-sparse SpMM — Pallas TPU kernel for large-graph propagation.
+"""Block-sparse SpMM — Pallas TPU kernels for large-graph propagation.
 
 Replaces the reference's ``torch.sparse.mm`` / torch_geometric scatter kernels
 (``/root/reference/lightGCN.py:185``, ``models/DNN.py:1047``) for the regime
@@ -7,19 +7,34 @@ scale, SURVEY.md §2.3). For moderate catalogs the dense-masked formulation in
 ``models/gcn.py`` is already MXU-optimal; this kernel extends the same math to
 sparse adjacencies.
 
-Format: block-CSR. The [n_rows, n_cols] sparse matrix is tiled into
-(BR x BC) tiles; only tiles containing nonzeros are stored densely:
+Format: block-CSR + a CSC view over the SAME tiles. The [n_rows, n_cols]
+sparse matrix is tiled into (BR x BC) tiles; only tiles containing nonzeros
+are stored densely, once:
 
-    blocks     [n_blocks, BR, BC]  dense tile values
-    block_cols [n_blocks]          column-tile index of each stored tile
-    row_ptr    [n_row_tiles + 1]   CSR over tiles (tiles of a row-tile are
-                                   contiguous)
+    blocks     [n_blocks, BR, BC]  dense tile values (CSR order)
+    block_cols [n_blocks]          column-tile of each stored tile
+    row_ptr    [n_row_tiles + 1]   CSR over tiles
+    col_ptr    [n_col_tiles + 1]   CSC over the same tiles
+    block_ids  [n_blocks]          CSC-order permutation into ``blocks``
+    block_rows [n_blocks]          row-tile of each CSC entry
 
-The kernel runs one grid step per row-tile: scalar-prefetched row_ptr /
-block_cols drive async DMA of each stored tile and the matching X tile from
-HBM into VMEM double buffers, accumulating ``acc += tile @ x_tile`` on the
-MXU. This is the canonical TPU block-sparse matmul: all FLOPs land on the
-systolic array, all HBM traffic is tile-granular and overlapped with compute.
+``y = A @ x``   iterates row-tiles (CSR);  acc[br, D] += tile @ x_tile
+``y = A^T @ x`` iterates col-tiles (CSC);  acc[bc, D] += tile^T @ x_tile
+so the transpose pass (needed by both LightGCN propagation and the matvec
+VJP) reuses the forward tile storage — no transposed copy of the matrix ever
+exists, and tile layout stays MXU/DMA-aligned (lane dim = BC >= 128) in both
+directions.
+
+Scaling design (learned the hard way at 1M x 200k): only the tiny ptr array
+is scalar-prefetched into SMEM; the per-row tile metadata (block_cols /
+block_ids+block_rows) is DMA'd HBM->SMEM per grid step in a fixed-width
+chunk (max tiles per row/col tile, computed host-side). Whole-array
+prefetch of 433k block_cols (1.7 MB) overflows the 1 MB SMEM budget.
+
+Hardware alignment rules (Mosaic): BC must be a multiple of 128 (lane dim of
+tile and x DMAs), BR a multiple of 8 (sublane dim); the dense operand's D is
+padded to a multiple of 128 internally. Interpret mode (tests) accepts any
+sizes.
 """
 
 from __future__ import annotations
@@ -36,12 +51,39 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 class BlockSparse(NamedTuple):
-    blocks: jnp.ndarray      # [n_blocks, BR, BC] float32
-    block_cols: jnp.ndarray  # [n_blocks] int32
+    blocks: jnp.ndarray      # [n_blocks, BR, BC] float32 (CSR tile order)
+    block_cols: jnp.ndarray  # [n_blocks + pad] int32
     row_ptr: jnp.ndarray     # [n_row_tiles + 1] int32
+    col_ptr: jnp.ndarray     # [n_col_tiles + 1] int32
+    block_ids: jnp.ndarray   # [n_blocks + pad] int32 (CSC -> CSR index)
+    block_rows: jnp.ndarray  # [n_blocks + pad] int32
     shape: Tuple[int, int]   # padded (n_rows, n_cols)
     br: int
     bc: int
+    max_row_width: int       # max stored tiles in any row-tile
+    max_col_width: int       # max stored tiles in any col-tile
+
+
+_Meta = Tuple[Tuple[int, int], int, int, int, int]
+
+
+def block_sparse_meta(a: BlockSparse) -> _Meta:
+    """Static metadata (hashable) — pass alongside ``block_sparse_arrays``."""
+    return (a.shape, a.br, a.bc, a.max_row_width, a.max_col_width)
+
+
+def block_sparse_arrays(a: BlockSparse):
+    """The jit-argument arrays. Pass these as arguments and rebuild with
+    ``_rebuild`` inside — closing over them embeds the whole sparse matrix
+    as a program constant (oversized remote-compile payloads)."""
+    return (a.blocks, a.block_cols, a.row_ptr, a.col_ptr, a.block_ids,
+            a.block_rows)
+
+
+def _rebuild(meta: _Meta, arrays) -> BlockSparse:
+    shape, br, bc, mrw, mcw = meta
+    return BlockSparse(*arrays, shape=shape, br=br, bc=bc,
+                       max_row_width=mrw, max_col_width=mcw)
 
 
 def degree_sort_permutation(mat: sp.spmatrix):
@@ -59,20 +101,22 @@ def degree_sort_permutation(mat: sp.spmatrix):
 
 def to_block_sparse(mat: sp.spmatrix, br: int = 128, bc: int = 128,
                     max_bytes: int = 8 << 30) -> BlockSparse:
-    """Host-side: scipy sparse -> block-CSR with only nonzero tiles stored.
+    """Host-side: scipy sparse -> block-CSR(+CSC view), nonzero tiles only.
 
     Refuses (ValueError) when the densified tiles would exceed ``max_bytes``:
     uniform-random sparsity puts ~1 nnz per tile and blows storage up by
     br*bc/1 — this format targets clustered/structured sparsity (see
-    degree_sort_permutation). For unstructured sparse graphs use the dense
-    path per catalog shard instead.
+    degree_sort_permutation and to_hybrid). For unstructured sparse graphs
+    use the dense path per catalog shard instead.
     """
     mat = mat.tocoo()
     n_rows = -(-mat.shape[0] // br) * br
     n_cols = -(-mat.shape[1] // bc) * bc
     rb = mat.row // br
     cb = mat.col // bc
-    tile_ids = rb.astype(np.int64) * (n_cols // bc) + cb
+    n_col_tiles = n_cols // bc
+    n_row_tiles = n_rows // br
+    tile_ids = rb.astype(np.int64) * n_col_tiles + cb
     uniq, inverse = np.unique(tile_ids, return_inverse=True)
     n_blocks = len(uniq)
     nbytes = max(n_blocks, 1) * br * bc * 4
@@ -82,179 +126,115 @@ def to_block_sparse(mat: sp.spmatrix, br: int = 128, bc: int = 128,
             f"({n_blocks} tiles for {mat.nnz} nnz, fill "
             f"{mat.nnz / max(n_blocks, 1) / (br * bc):.4f}); this format "
             "needs clustered sparsity — degree-sort the graph "
-            "(degree_sort_permutation) or use the dense sharded path")
+            "(degree_sort_permutation), use to_hybrid, or the dense sharded "
+            "path")
     blocks = np.zeros((max(n_blocks, 1), br, bc), dtype=np.float32)
     # add (not assign): duplicate COO entries must sum, matching scipy's
     # canonical form and the dense product
     np.add.at(blocks, (inverse, mat.row % br, mat.col % bc), mat.data)
-    u_rb = (uniq // (n_cols // bc)).astype(np.int32)
-    u_cb = (uniq % (n_cols // bc)).astype(np.int32)
-    n_row_tiles = n_rows // br
-    row_ptr = np.zeros(n_row_tiles + 1, dtype=np.int32)
-    np.add.at(row_ptr[1:], u_rb, 1)
-    row_ptr = np.cumsum(row_ptr).astype(np.int32)
-    # uniq is sorted by (rb, cb) already, so tiles of a row-tile are contiguous
+    u_rb = (uniq // n_col_tiles).astype(np.int32)
+    u_cb = (uniq % n_col_tiles).astype(np.int32)
+
+    def csr_ptr(keys, n_bins):
+        ptr = np.zeros(n_bins + 1, dtype=np.int32)
+        np.add.at(ptr[1:], keys, 1)
+        return np.cumsum(ptr).astype(np.int32)
+
+    row_ptr = csr_ptr(u_rb, n_row_tiles)   # uniq already sorted by (rb, cb)
+    # CSC view over the same tiles: stable sort by column-tile
+    csc_order = np.argsort(u_cb, kind="stable").astype(np.int32)
+    col_ptr = csr_ptr(u_cb, n_col_tiles)
+    csc_rows = u_rb[csc_order]
+    widths_r = np.diff(row_ptr)
+    widths_c = np.diff(col_ptr)
+    mrw = int(widths_r.max()) if n_blocks else 1
+    mcw = int(widths_c.max()) if n_blocks else 1
+
+    def padded(arr, pad):
+        out = np.zeros(len(arr) + pad, dtype=np.int32)
+        out[: len(arr)] = arr
+        return out
+
+    if n_blocks == 0:
+        u_cb = np.zeros(1, np.int32)
+        csc_order = np.zeros(1, np.int32)
+        csc_rows = np.zeros(1, np.int32)
     return BlockSparse(
         blocks=jnp.asarray(blocks),
-        block_cols=jnp.asarray(u_cb if n_blocks else np.zeros(1, np.int32)),
+        block_cols=jnp.asarray(padded(u_cb, max(mrw, 1))),
         row_ptr=jnp.asarray(row_ptr),
+        col_ptr=jnp.asarray(col_ptr),
+        block_ids=jnp.asarray(padded(csc_order, max(mcw, 1))),
+        block_rows=jnp.asarray(padded(csc_rows, max(mcw, 1))),
         shape=(n_rows, n_cols),
         br=br, bc=bc,
+        max_row_width=max(mrw, 1), max_col_width=max(mcw, 1),
     )
 
 
-def spmm_reference(a: BlockSparse, x: jnp.ndarray) -> jnp.ndarray:
-    """Gather-based oracle: y = A @ x via jnp ops (works on any backend)."""
+def spmm_reference(a: BlockSparse, x: jnp.ndarray,
+                   transpose: bool = False) -> jnp.ndarray:
+    """Gather-based oracle: y = A @ x (or A^T @ x) via jnp ops, any backend."""
+    n_blocks = a.blocks.shape[0]
+    if transpose:
+        n_out_tiles = a.shape[1] // a.bc
+        x_pad = jnp.zeros((a.shape[0], x.shape[1]),
+                          x.dtype).at[: x.shape[0]].set(x)
+        x_tiles = x_pad.reshape(-1, a.br, x.shape[1])
+        gathered = x_tiles[a.block_rows[:n_blocks]]
+        tiles = a.blocks[a.block_ids[:n_blocks]]
+        per_block = jnp.einsum("kij,kid->kjd", tiles, gathered)
+        seg_ids = jnp.searchsorted(a.col_ptr[1:], jnp.arange(n_blocks),
+                                   side="right")
+        y = jax.ops.segment_sum(per_block, seg_ids, num_segments=n_out_tiles)
+        return y.reshape(a.shape[1], x.shape[1])
     n_row_tiles = a.shape[0] // a.br
-    x_pad = jnp.zeros((a.shape[1], x.shape[1]), x.dtype).at[: x.shape[0]].set(x)
-    x_tiles = x_pad.reshape(-1, a.bc, x.shape[1])          # [n_col_tiles, BC, D]
-    gathered = x_tiles[a.block_cols]                       # [n_blocks, BC, D]
+    x_pad = jnp.zeros((a.shape[1], x.shape[1]),
+                      x.dtype).at[: x.shape[0]].set(x)
+    x_tiles = x_pad.reshape(-1, a.bc, x.shape[1])
+    gathered = x_tiles[a.block_cols[:n_blocks]]
     per_block = jnp.einsum("kij,kjd->kid", a.blocks, gathered)
-    # segment-sum per row tile
-    seg_ids = jnp.searchsorted(a.row_ptr[1:],
-                               jnp.arange(a.blocks.shape[0]), side="right")
+    seg_ids = jnp.searchsorted(a.row_ptr[1:], jnp.arange(n_blocks),
+                               side="right")
     y = jax.ops.segment_sum(per_block, seg_ids, num_segments=n_row_tiles)
     return y.reshape(a.shape[0], x.shape[1])
 
 
-class HybridSparse(NamedTuple):
-    """Hybrid tile + COO-remainder format for low-fill graphs.
+def _spmm_kernel(ptr_ref, tile_meta_hbm, aux_meta_hbm, blocks_hbm, x_hbm,
+                 y_ref, meta_buf, aux_buf, a_buf, x_buf, acc_ref, meta_sems,
+                 sems, *, width: int, x_rows: int, transpose: bool):
+    """One grid step per output tile (row-tile forward, col-tile transpose).
 
-    Dense tiles are stored only where they hold >= ``min_fill`` nonzeros;
-    the stragglers go to a COO list handled by an XLA gather/scatter-add
-    pass. At the 1M x 200k power-law geometry (br=8, min_fill=4) this keeps
-    93% of nnz on the MXU kernel in 0.50 GiB of tiles instead of 1.65 GiB —
-    and the 7% remainder is a 4 MiB COO list.
-
-    ``tiles_t`` is the transpose OF THE KEPT TILES (T^T, not A^T): the
-    differentiable matvec is y = T@x + R@x, whose VJP needs T^T (via
-    spmm_pair) while R's VJP is native XLA autodiff.
+    ptr (SMEM, scalar-prefetched) gives this step's [start, stop) range into
+    the tile-metadata arrays, whose fixed-width chunk is DMA'd HBM->SMEM
+    first (whole-array prefetch would overflow SMEM on big graphs):
+      forward:   tile_meta = block_cols (x tile index); aux unused (= ids)
+      transpose: tile_meta = block_rows (x tile index); aux = block_ids
+    Then the double-buffered tile/x DMA loop accumulates on the MXU.
     """
-
-    tiles: BlockSparse
-    tiles_t: BlockSparse
-    rem_rows: jnp.ndarray  # [nnz_rem] int32 (row in A)
-    rem_cols: jnp.ndarray  # [nnz_rem] int32
-    rem_vals: jnp.ndarray  # [nnz_rem] float32
-
-
-def to_hybrid(mat: sp.spmatrix, br: int = 8, bc: int = 128,
-              min_fill: int = 4, max_bytes: int = 8 << 30) -> HybridSparse:
-    """scipy sparse -> HybridSparse (host-side, O(nnz))."""
-    coo = mat.tocoo()
-    n_cols_pad = -(-coo.shape[1] // bc) * bc
-    tile_id = (coo.row // br).astype(np.int64) * (n_cols_pad // bc) \
-        + coo.col // bc
-    uniq, inverse, counts = np.unique(tile_id, return_inverse=True,
-                                      return_counts=True)
-    dense_mask = counts[inverse] >= min_fill
-    kept = sp.coo_matrix((coo.data[dense_mask],
-                          (coo.row[dense_mask], coo.col[dense_mask])),
-                         shape=coo.shape)
-    tiles = to_block_sparse(kept, br, bc, max_bytes)
-    tiles_t = to_block_sparse(kept.T.tocsr(), bc, br, max_bytes)
-    rem = ~dense_mask
-    return HybridSparse(
-        tiles=tiles, tiles_t=tiles_t,
-        rem_rows=jnp.asarray(coo.row[rem].astype(np.int32)),
-        rem_cols=jnp.asarray(coo.col[rem].astype(np.int32)),
-        rem_vals=jnp.asarray(coo.data[rem].astype(np.float32)))
-
-
-def hybrid_meta(h: HybridSparse):
-    return (block_sparse_meta(h.tiles), block_sparse_meta(h.tiles_t))
-
-
-def hybrid_arrays(h: HybridSparse):
-    return (block_sparse_arrays(h.tiles), block_sparse_arrays(h.tiles_t),
-            h.rem_rows, h.rem_cols, h.rem_vals)
-
-
-def hybrid_spmm(meta, arrays, x: jnp.ndarray, transpose: bool = False,
-                interpret: bool = False) -> jnp.ndarray:
-    """Differentiable ``y = A @ x`` (or ``A^T @ x``) on the hybrid format.
-
-    Tile pass rides the Pallas kernel (spmm_pair custom VJP); the COO
-    remainder is one gather + scatter-add, fully autodiff-native. Metadata/
-    arrays come from hybrid_meta/hybrid_arrays so the operand rides as jit
-    arguments. Output rows are padded to the tile grid (slice to taste).
-    """
-    meta_a, meta_at = meta
-    ta, tt, rr, rc, rv = arrays
-    if transpose:
-        meta_a, meta_at = meta_at, meta_a
-        ta, tt = tt, ta
-        rr, rc = rc, rr
-    y = spmm_pair(meta_a, meta_at, interpret, ta, tt, x)
-    contrib = rv[:, None] * x[rc, :]
-    return y.at[rr].add(contrib)
-
-
-_Meta = Tuple[Tuple[int, int], int, int]  # (shape, br, bc) — static metadata
-
-
-def _rebuild(meta: _Meta, arrays) -> BlockSparse:
-    (shape, br, bc) = meta
-    blocks, block_cols, row_ptr = arrays
-    return BlockSparse(blocks=blocks, block_cols=block_cols, row_ptr=row_ptr,
-                       shape=shape, br=br, bc=bc)
-
-
-def block_sparse_meta(a: BlockSparse) -> _Meta:
-    return (a.shape, a.br, a.bc)
-
-
-def block_sparse_arrays(a: BlockSparse):
-    return (a.blocks, a.block_cols, a.row_ptr)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def spmm_pair(meta_a: _Meta, meta_at: _Meta, interpret: bool,
-              a_arrays, at_arrays, x: jnp.ndarray) -> jnp.ndarray:
-    """Differentiable ``y = A @ x`` on the Pallas kernel.
-
-    The VJP of a sparse matmul w.r.t. the dense operand is ``A^T @ g`` — the
-    caller supplies A^T in the same block format (``at_arrays``), so the
-    backward pass runs on the identical kernel instead of needing a scatter
-    transpose. Cotangents for the adjacency arrays are zeros (the graph is
-    data, not a parameter — XLA dead-code-eliminates them).
-
-    Pass metadata via ``block_sparse_meta`` and arrays via
-    ``block_sparse_arrays`` so the sparse matrices ride as jit ARGUMENTS (see
-    ``spmm``'s docstring on why closing over them is a mistake).
-    """
-    return spmm(_rebuild(meta_a, a_arrays), x, interpret=interpret)
-
-
-def _spmm_pair_fwd(meta_a, meta_at, interpret, a_arrays, at_arrays, x):
-    y = spmm(_rebuild(meta_a, a_arrays), x, interpret=interpret)
-    return y, (a_arrays, at_arrays, x.shape[0])
-
-
-def _spmm_pair_bwd(meta_a, meta_at, interpret, res, g):
-    a_arrays, at_arrays, n_x = res
-    gx = spmm(_rebuild(meta_at, at_arrays), g, interpret=interpret)[:n_x]
-    zeros_a = jax.tree_util.tree_map(jnp.zeros_like, a_arrays)
-    zeros_at = jax.tree_util.tree_map(jnp.zeros_like, at_arrays)
-    return (zeros_a, zeros_at, gx)
-
-
-spmm_pair.defvjp(_spmm_pair_fwd, _spmm_pair_bwd)
-
-
-def _spmm_kernel(row_ptr_ref, block_cols_ref, blocks_hbm, x_hbm, y_ref,
-                 a_buf, x_buf, acc_ref, sems, *, bc: int):
     i = pl.program_id(0)
-    start = row_ptr_ref[i]
-    stop = row_ptr_ref[i + 1]
+    start = ptr_ref[i]
+    stop = ptr_ref[i + 1]
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    meta_dma = pltpu.make_async_copy(
+        tile_meta_hbm.at[pl.ds(start, width)], meta_buf, meta_sems.at[0])
+    meta_dma.start()
+    aux_dma = pltpu.make_async_copy(
+        aux_meta_hbm.at[pl.ds(start, width)], aux_buf, meta_sems.at[1])
+    aux_dma.start()
+    meta_dma.wait()
+    aux_dma.wait()
+
     def get_dmas(k, slot):
-        a_dma = pltpu.make_async_copy(blocks_hbm.at[k], a_buf.at[slot],
-                                      sems.at[slot, 0])
-        cb = block_cols_ref[k]
-        x_dma = pltpu.make_async_copy(x_hbm.at[pl.ds(cb * bc, bc), :],
-                                      x_buf.at[slot], sems.at[slot, 1])
+        j = k - start
+        block_idx = aux_buf[j] if transpose else k
+        a_dma = pltpu.make_async_copy(blocks_hbm.at[block_idx],
+                                      a_buf.at[slot], sems.at[slot, 0])
+        xt = meta_buf[j]
+        x_dma = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(xt * x_rows, x_rows), :],
+            x_buf.at[slot], sems.at[slot, 1])
         return a_dma, x_dma
 
     def start_pair(k, slot):
@@ -277,8 +257,15 @@ def _spmm_kernel(row_ptr_ref, block_cols_ref, blocks_hbm, x_hbm, y_ref,
             a_dma, x_dma = get_dmas(k, slot)
             a_dma.wait()
             x_dma.wait()
-            acc_ref[:] += jnp.dot(a_buf[slot], x_buf[slot],
-                                  preferred_element_type=jnp.float32)
+            if transpose:
+                # acc[bc, D] += tile[br, bc]^T @ x[br, D]
+                acc_ref[:] += jax.lax.dot_general(
+                    a_buf[slot], x_buf[slot],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                acc_ref[:] += jnp.dot(a_buf[slot], x_buf[slot],
+                                      preferred_element_type=jnp.float32)
             return 0
 
         jax.lax.fori_loop(start, stop, body, 0)
@@ -286,40 +273,166 @@ def _spmm_kernel(row_ptr_ref, block_cols_ref, blocks_hbm, x_hbm, y_ref,
     y_ref[:] = acc_ref[:]
 
 
-def spmm(a: BlockSparse, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """y = A @ x with the Pallas kernel. x: [n_cols(unpadded ok), D], D
-    should be a multiple of 128 for peak efficiency (any D works).
+def spmm(a: BlockSparse, x: jnp.ndarray, transpose: bool = False,
+         interpret: bool = False) -> jnp.ndarray:
+    """``y = A @ x`` (or ``A^T @ x``) with the Pallas kernel.
 
-    Not jitted here: BlockSparse.shape/br/bc are static metadata. At the call
-    site, pass the BlockSparse ARRAYS as jit arguments and rebuild the
-    NamedTuple inside (see benchmarks/spmm_tpu_check.py:jit_spmm) — closing
-    over them embeds the whole sparse matrix as a program constant, which
-    bloats compiles (and oversizes remote-compile payloads).
+    x: [A.shape[1] (or [0] for transpose), D] — unpadded rows accepted, D is
+    padded to a multiple of 128 internally. Output rows are padded to the
+    tile grid; slice to the logical size at the call site. Not jitted here
+    (see block_sparse_arrays on how to pass the operand at a jit boundary);
+    for gradients use ``spmm_op``.
     """
     br, bc = a.br, a.bc
-    n_row_tiles = a.shape[0] // br
-    d = x.shape[1]
-    x_pad = jnp.zeros((a.shape[1], d), x.dtype).at[: x.shape[0]].set(x)
+    if transpose:
+        grid = a.shape[1] // bc
+        ptr, tile_meta, aux = a.col_ptr, a.block_rows, a.block_ids
+        width = a.max_col_width
+        x_rows, out_rows, out_tile = br, a.shape[1], bc
+        n_x = a.shape[0]
+    else:
+        grid = a.shape[0] // br
+        ptr, tile_meta, aux = a.row_ptr, a.block_cols, a.block_ids
+        width = a.max_row_width
+        x_rows, out_rows, out_tile = bc, a.shape[0], br
+        n_x = a.shape[1]
+    d_in = x.shape[1]
+    # Mosaic: lane (last) dim of DMA slices must be 128-aligned
+    d = -(-d_in // 128) * 128
+    x_pad = jnp.zeros((n_x, d), x.dtype).at[: x.shape[0], : d_in].set(x)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_row_tiles,),
+        num_scalar_prefetch=1,          # ptr only — tile metadata is DMA'd
+        grid=(grid,),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # tile_meta stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # aux (csc ids) stays in HBM
             pl.BlockSpec(memory_space=pl.ANY),   # blocks stay in HBM
             pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
         ],
-        out_specs=pl.BlockSpec((br, d), lambda i, *_: (i, 0),
+        out_specs=pl.BlockSpec((out_tile, d), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.SMEM((width,), jnp.int32),
+            pltpu.SMEM((width,), jnp.int32),
             pltpu.VMEM((2, br, bc), jnp.float32),
-            pltpu.VMEM((2, bc, d), jnp.float32),
-            pltpu.VMEM((br, d), jnp.float32),
+            pltpu.VMEM((2, x_rows, d), jnp.float32),
+            pltpu.VMEM((out_tile, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
-    return pl.pallas_call(
-        functools.partial(_spmm_kernel, bc=bc),
+    y = pl.pallas_call(
+        functools.partial(_spmm_kernel, width=width, x_rows=x_rows,
+                          transpose=transpose),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((a.shape[0], d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((out_rows, d), jnp.float32),
         interpret=interpret,
-    )(a.row_ptr, a.block_cols, a.blocks, x_pad)
+    )(ptr, tile_meta, aux, a.blocks, x_pad)
+    return y[:, :d_in] if d != d_in else y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def spmm_op(meta: _Meta, transpose: bool, interpret: bool, arrays,
+            x: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable ``y = A @ x`` (or ``A^T @ x``) on the Pallas kernel.
+
+    The VJP w.r.t. the dense operand is the opposite-direction product on
+    the SAME tile storage (CSC view) — no transposed copy of the matrix.
+    Cotangents for the adjacency arrays are zeros (the graph is data, not a
+    parameter — XLA dead-code-eliminates them).
+    """
+    return spmm(_rebuild(meta, arrays), x, transpose=transpose,
+                interpret=interpret)
+
+
+def _spmm_op_fwd(meta, transpose, interpret, arrays, x):
+    y = spmm(_rebuild(meta, arrays), x, transpose=transpose,
+             interpret=interpret)
+    return y, (arrays, x.shape[0])
+
+
+def _spmm_op_bwd(meta, transpose, interpret, res, g):
+    arrays, n_x = res
+    gx = spmm(_rebuild(meta, arrays), g, transpose=not transpose,
+              interpret=interpret)[:n_x]
+    return (jax.tree_util.tree_map(jnp.zeros_like, arrays), gx)
+
+
+spmm_op.defvjp(_spmm_op_fwd, _spmm_op_bwd)
+
+
+def spmm_pair(meta_a: _Meta, meta_at: _Meta, interpret: bool,
+              a_arrays, at_arrays, x: jnp.ndarray) -> jnp.ndarray:
+    """Back-compat wrapper over ``spmm_op`` (the old API took an explicitly
+    transposed operand; the CSC view made that redundant — meta_at/at_arrays
+    are ignored)."""
+    del meta_at, at_arrays
+    return spmm_op(meta_a, False, interpret, a_arrays, x)
+
+
+# ---------------------------------------------------------------------------
+# hybrid tile + COO remainder
+# ---------------------------------------------------------------------------
+
+class HybridSparse(NamedTuple):
+    """Hybrid tile + COO-remainder format for low-fill graphs.
+
+    Dense tiles are stored only where they hold >= ``min_fill`` nonzeros;
+    the stragglers go to a COO list handled by an XLA gather/scatter-add
+    pass. At the 1M x 200k power-law geometry (br=8, min_fill=4) this keeps
+    93% of nnz on the MXU kernel in 0.50 GiB of tiles instead of 1.65 GiB —
+    and the 7% remainder is a 4 MiB COO list.
+    """
+
+    tiles: BlockSparse
+    rem_rows: jnp.ndarray  # [nnz_rem] int32 (row in A)
+    rem_cols: jnp.ndarray  # [nnz_rem] int32
+    rem_vals: jnp.ndarray  # [nnz_rem] float32
+
+
+def to_hybrid(mat: sp.spmatrix, br: int = 8, bc: int = 128,
+              min_fill: int = 4, max_bytes: int = 8 << 30) -> HybridSparse:
+    """scipy sparse -> HybridSparse (host-side, O(nnz))."""
+    coo = mat.tocoo()
+    n_cols_pad = -(-coo.shape[1] // bc) * bc
+    tile_id = (coo.row // br).astype(np.int64) * (n_cols_pad // bc) \
+        + coo.col // bc
+    uniq, inverse, counts = np.unique(tile_id, return_inverse=True,
+                                      return_counts=True)
+    dense_mask = counts[inverse] >= min_fill
+    kept = sp.coo_matrix((coo.data[dense_mask],
+                          (coo.row[dense_mask], coo.col[dense_mask])),
+                         shape=coo.shape)
+    tiles = to_block_sparse(kept, br, bc, max_bytes)
+    rem = ~dense_mask
+    return HybridSparse(
+        tiles=tiles,
+        rem_rows=jnp.asarray(coo.row[rem].astype(np.int32)),
+        rem_cols=jnp.asarray(coo.col[rem].astype(np.int32)),
+        rem_vals=jnp.asarray(coo.data[rem].astype(np.float32)))
+
+
+def hybrid_meta(h: HybridSparse) -> _Meta:
+    return block_sparse_meta(h.tiles)
+
+
+def hybrid_arrays(h: HybridSparse):
+    return (block_sparse_arrays(h.tiles),
+            h.rem_rows, h.rem_cols, h.rem_vals)
+
+
+def hybrid_spmm(meta: _Meta, arrays, x: jnp.ndarray, transpose: bool = False,
+                interpret: bool = False) -> jnp.ndarray:
+    """Differentiable ``y = A @ x`` (or ``A^T @ x``) on the hybrid format.
+
+    Tile pass rides the Pallas kernel (spmm_op custom VJP, CSC view for the
+    transpose); the COO remainder is one gather + scatter-add, fully
+    autodiff-native. Output rows are padded to the tile grid.
+    """
+    ta, rr, rc, rv = arrays
+    if transpose:
+        rr, rc = rc, rr
+    y = spmm_op(meta, transpose, interpret, ta, x)
+    contrib = rv[:, None] * x[rc, :]
+    return y.at[rr].add(contrib)

@@ -94,13 +94,12 @@ def test_pretrain_smoke(rng):
 # Pallas-sparse propagation path (VERDICT round-1 item 2)
 # ---------------------------------------------------------------------------
 
-def _sparse_pair_args(csr, br=16, bc=16):
+def _sparse_args(csr, br=16, bc=16):
     from gdmcf_tpu.models.lightgcn import normalized_bipartite_sparse
     from gdmcf_tpu.ops.spmm import block_sparse_arrays, block_sparse_meta
 
-    n_bs, nt_bs = normalized_bipartite_sparse(csr, br=br, bc=bc)
-    return (block_sparse_meta(n_bs), block_sparse_meta(nt_bs),
-            block_sparse_arrays(n_bs), block_sparse_arrays(nt_bs))
+    n_bs = normalized_bipartite_sparse(csr, br=br, bc=bc)
+    return block_sparse_meta(n_bs), block_sparse_arrays(n_bs)
 
 
 def test_normalized_sparse_matches_dense_blocks(rng):
@@ -110,12 +109,12 @@ def test_normalized_sparse_matches_dense_blocks(rng):
     n_user, n_item, d = 40, 28, 8
     csr = random_csr(rng, n_user, n_item)
     dense = normalized_bipartite_blocks(csr)
-    n_bs, nt_bs = normalized_bipartite_sparse(csr, br=16, bc=16)
+    n_bs = normalized_bipartite_sparse(csr, br=16, bc=16)
     x = jnp.asarray(rng.standard_normal((n_item, d)).astype(np.float32))
     y = np.asarray(spmm_reference(n_bs, x))[:n_user]
     np.testing.assert_allclose(y, dense @ np.asarray(x), rtol=2e-5, atol=1e-5)
     xu = jnp.asarray(rng.standard_normal((n_user, d)).astype(np.float32))
-    yt = np.asarray(spmm_reference(nt_bs, xu))[:n_item]
+    yt = np.asarray(spmm_reference(n_bs, xu, transpose=True))[:n_item]
     np.testing.assert_allclose(yt, dense.T @ np.asarray(xu), rtol=2e-5, atol=1e-5)
 
 
@@ -128,8 +127,8 @@ def test_propagate_sparse_matches_dense(rng):
     e_u = jnp.asarray(rng.standard_normal((n_user, d)).astype(np.float32))
     e_i = jnp.asarray(rng.standard_normal((n_item, d)).astype(np.float32))
     fu_d, fi_d = propagate(e_u, e_i, n_mat, k)
-    n_meta, nt_meta, n_arr, nt_arr = _sparse_pair_args(csr)
-    fu_s, fi_s = propagate_sparse(e_u, e_i, n_meta, nt_meta, n_arr, nt_arr, k,
+    n_meta, n_arr = _sparse_args(csr)
+    fu_s, fi_s = propagate_sparse(e_u, e_i, n_meta, n_arr, k,
                                   interpret=True)
     np.testing.assert_allclose(np.asarray(fu_s), np.asarray(fu_d),
                                rtol=2e-4, atol=2e-5)
@@ -151,15 +150,15 @@ def test_propagate_sparse_gradients_match_dense(rng):
     w_i = jnp.asarray(rng.standard_normal((n_item, d)).astype(np.float32))
     e0 = jnp.asarray(
         rng.standard_normal((n_user + n_item, d)).astype(np.float32))
-    n_meta, nt_meta, n_arr, nt_arr = _sparse_pair_args(csr)
+    n_meta, n_arr = _sparse_args(csr)
 
     def loss_dense(e0):
         fu, fi = propagate(e0[:n_user], e0[n_user:], n_mat, k)
         return (fu * w_u).sum() + (fi * w_i).sum()
 
     def loss_sparse(e0):
-        fu, fi = propagate_sparse(e0[:n_user], e0[n_user:], n_meta, nt_meta,
-                                  n_arr, nt_arr, k, interpret=True)
+        fu, fi = propagate_sparse(e0[:n_user], e0[n_user:], n_meta,
+                                  n_arr, k, interpret=True)
         return (fu * w_u).sum() + (fi * w_i).sum()
 
     g_d = jax.grad(loss_dense)(e0)
@@ -194,12 +193,12 @@ def test_dnn_lightgcn_sparse_adj_matches_dense(rng):
     n_user, n_item = 24, 20
     csr = random_csr(rng, n_user, n_item)
     n_mat = normalized_bipartite_blocks(csr)
-    n_bs, nt_bs = normalized_bipartite_sparse(csr, br=16, bc=16)
+    n_bs = normalized_bipartite_sparse(csr, br=16, bc=16)
     dims = [n_item, 8]
     m_dense = dnn_lightgcn(dims, dims[::-1], 10, n_user, n_item,
                            norm_adj=(n_mat, n_mat.T))
     m_sparse = dnn_lightgcn(dims, dims[::-1], 10, n_user, n_item,
-                            sparse_adj=(n_bs, nt_bs, True))
+                            sparse_adj=(n_bs, True))
     p_d = m_dense.init(jax.random.PRNGKey(0))
     p_s = m_sparse.init(jax.random.PRNGKey(0))
     np.testing.assert_allclose(np.asarray(p_s["frozen_lgn_user"]),

@@ -190,3 +190,67 @@ def test_hybrid_all_tiles_kept_and_all_remainder(rng):
         y = np.asarray(hybrid_spmm(hybrid_meta(h), hybrid_arrays(h),
                                    jnp.asarray(x), interpret=True))[:n_r]
         np.testing.assert_allclose(y, dense @ x, rtol=2e-4, atol=2e-5)
+
+
+def test_spmm_transpose_matches_dense(rng):
+    """A^T @ x via the CSC view over the SAME tiles (no transposed copy)."""
+    import jax.numpy as jnp
+
+    from gdmcf_tpu.ops.spmm import spmm, to_block_sparse
+
+    n_r, n_c, d = 48, 32, 8
+    dense = np.where(rng.random((n_r, n_c)) < 0.25,
+                     rng.standard_normal((n_r, n_c)), 0.0).astype(np.float32)
+    a = to_block_sparse(sp.csr_matrix(dense), br=8, bc=16)
+    x = rng.standard_normal((n_r, d)).astype(np.float32)
+    y = np.asarray(spmm(a, jnp.asarray(x), transpose=True,
+                        interpret=True))[:n_c]
+    np.testing.assert_allclose(y, dense.T @ x, rtol=2e-4, atol=2e-5)
+
+
+def test_spmm_op_vjp_both_directions(rng):
+    """grad through spmm_op forward AND transpose == dense grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdmcf_tpu.ops.spmm import (block_sparse_arrays, block_sparse_meta,
+                                    spmm_op, to_block_sparse)
+
+    n_r, n_c, d = 32, 24, 4
+    dense = np.where(rng.random((n_r, n_c)) < 0.3,
+                     rng.standard_normal((n_r, n_c)), 0.0).astype(np.float32)
+    a = to_block_sparse(sp.csr_matrix(dense), br=8, bc=8)
+    meta, arrays = block_sparse_meta(a), block_sparse_arrays(a)
+    dj = jnp.asarray(dense)
+
+    w_f = rng.standard_normal((n_r, d)).astype(np.float32)
+    x_f = jnp.asarray(rng.standard_normal((n_c, d)).astype(np.float32))
+    g_k = jax.grad(lambda x: (spmm_op(meta, False, True, arrays, x)[:n_r]
+                              * w_f).sum())(x_f)
+    g_d = jax.grad(lambda x: (dj @ x * w_f).sum())(x_f)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_d),
+                               rtol=2e-4, atol=2e-4)
+
+    w_t = rng.standard_normal((n_c, d)).astype(np.float32)
+    x_t = jnp.asarray(rng.standard_normal((n_r, d)).astype(np.float32))
+    g_kt = jax.grad(lambda x: (spmm_op(meta, True, True, arrays, x)[:n_c]
+                               * w_t).sum())(x_t)
+    g_dt = jax.grad(lambda x: (dj.T @ x * w_t).sum())(x_t)
+    np.testing.assert_allclose(np.asarray(g_kt), np.asarray(g_dt),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_spmm_nonmultiple_d_padding(rng):
+    """D not a multiple of 128: padded internally, sliced back."""
+    import jax.numpy as jnp
+
+    from gdmcf_tpu.ops.spmm import spmm, to_block_sparse
+
+    n_r, n_c, d = 24, 16, 5
+    dense = np.where(rng.random((n_r, n_c)) < 0.4,
+                     rng.standard_normal((n_r, n_c)), 0.0).astype(np.float32)
+    a = to_block_sparse(sp.csr_matrix(dense), br=8, bc=8)
+    x = rng.standard_normal((n_c, d)).astype(np.float32)
+    y = np.asarray(spmm(a, jnp.asarray(x), interpret=True))[:n_r]
+    assert y.shape == (n_r, d)
+    np.testing.assert_allclose(y, dense @ x, rtol=2e-4, atol=2e-5)
