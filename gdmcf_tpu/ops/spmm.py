@@ -51,12 +51,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 class BlockSparse(NamedTuple):
+    # metadata arrays are stored chunked [n_chunks, 8, _META_CHUNK//8] int32
+    # (flat order = CSR/CSC tile order) — see to_block_sparse.chunked
     blocks: jnp.ndarray      # [n_blocks, BR, BC] float32 (CSR tile order)
-    block_cols: jnp.ndarray  # [n_blocks + pad] int32
+    block_cols: jnp.ndarray  # chunked [n_blocks] int32
     row_ptr: jnp.ndarray     # [n_row_tiles + 1] int32
     col_ptr: jnp.ndarray     # [n_col_tiles + 1] int32
-    block_ids: jnp.ndarray   # [n_blocks + pad] int32 (CSC -> CSR index)
-    block_rows: jnp.ndarray  # [n_blocks + pad] int32
+    block_ids: jnp.ndarray   # chunked [n_blocks] int32 (CSC -> CSR index)
+    block_rows: jnp.ndarray  # chunked [n_blocks] int32
     shape: Tuple[int, int]   # padded (n_rows, n_cols)
     br: int
     bc: int
@@ -150,10 +152,15 @@ def to_block_sparse(mat: sp.spmatrix, br: int = 128, bc: int = 128,
     mrw = int(widths_r.max()) if n_blocks else 1
     mcw = int(widths_c.max()) if n_blocks else 1
 
-    def padded(arr, pad):
-        out = np.zeros(len(arr) + pad, dtype=np.int32)
+    def chunked(arr):
+        # metadata is DMA'd in whole absolute-aligned _META_CHUNK chunks,
+        # stored [n_chunks, 8, CHUNK/8] so the kernel indexes chunks by the
+        # (untiled) leading dimension — the same addressing the blocks array
+        # uses, with no dynamic-offset alignment proofs needed
+        n = -(-max(len(arr), 1) // _META_CHUNK) * _META_CHUNK
+        out = np.zeros(n, dtype=np.int32)
         out[: len(arr)] = arr
-        return out
+        return out.reshape(-1, 8, _META_CHUNK // 8)
 
     if n_blocks == 0:
         u_cb = np.zeros(1, np.int32)
@@ -161,11 +168,11 @@ def to_block_sparse(mat: sp.spmatrix, br: int = 128, bc: int = 128,
         csc_rows = np.zeros(1, np.int32)
     return BlockSparse(
         blocks=jnp.asarray(blocks),
-        block_cols=jnp.asarray(padded(u_cb, max(mrw, 1))),
+        block_cols=jnp.asarray(chunked(u_cb)),
         row_ptr=jnp.asarray(row_ptr),
         col_ptr=jnp.asarray(col_ptr),
-        block_ids=jnp.asarray(padded(csc_order, max(mcw, 1))),
-        block_rows=jnp.asarray(padded(csc_rows, max(mcw, 1))),
+        block_ids=jnp.asarray(chunked(csc_order)),
+        block_rows=jnp.asarray(chunked(csc_rows)),
         shape=(n_rows, n_cols),
         br=br, bc=bc,
         max_row_width=max(mrw, 1), max_col_width=max(mcw, 1),
@@ -181,8 +188,8 @@ def spmm_reference(a: BlockSparse, x: jnp.ndarray,
         x_pad = jnp.zeros((a.shape[0], x.shape[1]),
                           x.dtype).at[: x.shape[0]].set(x)
         x_tiles = x_pad.reshape(-1, a.br, x.shape[1])
-        gathered = x_tiles[a.block_rows[:n_blocks]]
-        tiles = a.blocks[a.block_ids[:n_blocks]]
+        gathered = x_tiles[a.block_rows.reshape(-1)[:n_blocks]]
+        tiles = a.blocks[a.block_ids.reshape(-1)[:n_blocks]]
         per_block = jnp.einsum("kij,kid->kjd", tiles, gathered)
         seg_ids = jnp.searchsorted(a.col_ptr[1:], jnp.arange(n_blocks),
                                    side="right")
@@ -192,7 +199,7 @@ def spmm_reference(a: BlockSparse, x: jnp.ndarray,
     x_pad = jnp.zeros((a.shape[1], x.shape[1]),
                       x.dtype).at[: x.shape[0]].set(x)
     x_tiles = x_pad.reshape(-1, a.bc, x.shape[1])
-    gathered = x_tiles[a.block_cols[:n_blocks]]
+    gathered = x_tiles[a.block_cols.reshape(-1)[:n_blocks]]
     per_block = jnp.einsum("kij,kjd->kid", a.blocks, gathered)
     seg_ids = jnp.searchsorted(a.row_ptr[1:], jnp.arange(n_blocks),
                                side="right")
@@ -200,76 +207,98 @@ def spmm_reference(a: BlockSparse, x: jnp.ndarray,
     return y.reshape(a.shape[0], x.shape[1])
 
 
+_META_CHUNK = 1024  # ints per metadata DMA (4 KB SMEM; int32 HBM slices tile at 1024)
+
+
 def _spmm_kernel(ptr_ref, tile_meta_hbm, aux_meta_hbm, blocks_hbm, x_hbm,
                  y_ref, meta_buf, aux_buf, a_buf, x_buf, acc_ref, meta_sems,
-                 sems, *, width: int, x_rows: int, transpose: bool):
+                 sems, *, x_rows: int, transpose: bool):
     """One grid step per output tile (row-tile forward, col-tile transpose).
 
     ptr (SMEM, scalar-prefetched) gives this step's [start, stop) range into
-    the tile-metadata arrays, whose fixed-width chunk is DMA'd HBM->SMEM
-    first (whole-array prefetch would overflow SMEM on big graphs):
-      forward:   tile_meta = block_cols (x tile index); aux unused (= ids)
+    the tile-metadata arrays, which are streamed HBM->SMEM in fixed
+    _META_CHUNK slices (whole-array prefetch overflows the 1 MB SMEM budget
+    at ~250k tiles, and a hot column tile can span EVERY row tile — 125k
+    entries at the 1M x 200k geometry — so even per-step whole-width chunks
+    don't fit):
+      forward:   tile_meta = block_cols (x tile index); aux = identity ids
       transpose: tile_meta = block_rows (x tile index); aux = block_ids
-    Then the double-buffered tile/x DMA loop accumulates on the MXU.
+    Within a chunk, tile/x DMAs are double-buffered and accumulate on the
+    MXU; the pipeline restarts at each chunk boundary (one ~2 KB DMA bubble
+    per 512 tiles).
     """
     i = pl.program_id(0)
     start = ptr_ref[i]
     stop = ptr_ref[i + 1]
     acc_ref[:] = jnp.zeros_like(acc_ref)
+    sub = _META_CHUNK // 8
 
-    meta_dma = pltpu.make_async_copy(
-        tile_meta_hbm.at[pl.ds(start, width)], meta_buf, meta_sems.at[0])
-    meta_dma.start()
-    aux_dma = pltpu.make_async_copy(
-        aux_meta_hbm.at[pl.ds(start, width)], aux_buf, meta_sems.at[1])
-    aux_dma.start()
-    meta_dma.wait()
-    aux_dma.wait()
+    def chunk_body(c, _):
+        # chunks are ABSOLUTE-aligned (metadata stored [n_chunks, 8, C/8]):
+        # leading-dim indexing needs no dynamic-offset alignment proofs
+        meta_dma = pltpu.make_async_copy(tile_meta_hbm.at[c], meta_buf,
+                                         meta_sems.at[0])
+        meta_dma.start()
+        aux_dma = pltpu.make_async_copy(aux_meta_hbm.at[c], aux_buf,
+                                        meta_sems.at[1])
+        aux_dma.start()
+        meta_dma.wait()
+        aux_dma.wait()
+        lo = jnp.maximum(start, c * _META_CHUNK)
+        hi = jnp.minimum(stop, (c + 1) * _META_CHUNK)
 
-    def get_dmas(k, slot):
-        j = k - start
-        block_idx = aux_buf[j] if transpose else k
-        a_dma = pltpu.make_async_copy(blocks_hbm.at[block_idx],
-                                      a_buf.at[slot], sems.at[slot, 0])
-        xt = meta_buf[j]
-        x_dma = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(xt * x_rows, x_rows), :],
-            x_buf.at[slot], sems.at[slot, 1])
-        return a_dma, x_dma
+        def meta_at(buf, k):
+            j = k - c * _META_CHUNK
+            return buf[j // sub, j % sub]
 
-    def start_pair(k, slot):
-        a_dma, x_dma = get_dmas(k, slot)
-        a_dma.start()
-        x_dma.start()
+        def pair(k, slot):
+            # forward: blocks are CSR-contiguous (index = k, the absolute
+            # tile index); transpose: CSC permutation from block_ids
+            block_idx = meta_at(aux_buf, k) if transpose else k
+            a_dma = pltpu.make_async_copy(blocks_hbm.at[block_idx],
+                                          a_buf.at[slot], sems.at[slot, 0])
+            x_dma = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(meta_at(meta_buf, k) * x_rows, x_rows), :],
+                x_buf.at[slot], sems.at[slot, 1])
+            return a_dma, x_dma
 
-    @pl.when(start < stop)
-    def _():
-        start_pair(start, 0)
+        def start_pair(k, slot):
+            a_dma, x_dma = pair(k, slot)
+            a_dma.start()
+            x_dma.start()
 
-        def body(k, _):
-            slot = (k - start) % 2
-            nxt = (k - start + 1) % 2
+        @pl.when(lo < hi)
+        def _():
+            start_pair(lo, 0)
 
-            @pl.when(k + 1 < stop)
-            def _():
-                start_pair(k + 1, nxt)
+            def body(k, _):
+                slot = (k - lo) % 2
+                nxt = (k - lo + 1) % 2
 
-            a_dma, x_dma = get_dmas(k, slot)
-            a_dma.wait()
-            x_dma.wait()
-            if transpose:
-                # acc[bc, D] += tile[br, bc]^T @ x[br, D]
-                acc_ref[:] += jax.lax.dot_general(
-                    a_buf[slot], x_buf[slot],
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            else:
-                acc_ref[:] += jnp.dot(a_buf[slot], x_buf[slot],
-                                      preferred_element_type=jnp.float32)
-            return 0
+                @pl.when(k + 1 < hi)
+                def _():
+                    start_pair(k + 1, nxt)
 
-        jax.lax.fori_loop(start, stop, body, 0)
+                a_dma, x_dma = pair(k, slot)
+                a_dma.wait()
+                x_dma.wait()
+                if transpose:
+                    # acc[bc, D] += tile[br, bc]^T @ x[br, D]
+                    acc_ref[:] += jax.lax.dot_general(
+                        a_buf[slot], x_buf[slot],
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                else:
+                    acc_ref[:] += jnp.dot(a_buf[slot], x_buf[slot],
+                                          preferred_element_type=jnp.float32)
+                return 0
 
+            jax.lax.fori_loop(lo, hi, body, 0)
+        return 0
+
+    first = start // _META_CHUNK
+    n_chunks = (stop + _META_CHUNK - 1) // _META_CHUNK - first
+    jax.lax.fori_loop(first, first + n_chunks, chunk_body, 0)
     y_ref[:] = acc_ref[:]
 
 
@@ -287,13 +316,11 @@ def spmm(a: BlockSparse, x: jnp.ndarray, transpose: bool = False,
     if transpose:
         grid = a.shape[1] // bc
         ptr, tile_meta, aux = a.col_ptr, a.block_rows, a.block_ids
-        width = a.max_col_width
         x_rows, out_rows, out_tile = br, a.shape[1], bc
         n_x = a.shape[0]
     else:
         grid = a.shape[0] // br
         ptr, tile_meta, aux = a.row_ptr, a.block_cols, a.block_ids
-        width = a.max_row_width
         x_rows, out_rows, out_tile = bc, a.shape[0], br
         n_x = a.shape[1]
     d_in = x.shape[1]
@@ -313,8 +340,8 @@ def spmm(a: BlockSparse, x: jnp.ndarray, transpose: bool = False,
         out_specs=pl.BlockSpec((out_tile, d), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.SMEM((width,), jnp.int32),
-            pltpu.SMEM((width,), jnp.int32),
+            pltpu.SMEM((8, _META_CHUNK // 8), jnp.int32),
+            pltpu.SMEM((8, _META_CHUNK // 8), jnp.int32),
             pltpu.VMEM((2, br, bc), jnp.float32),
             pltpu.VMEM((2, x_rows, d), jnp.float32),
             pltpu.VMEM((out_tile, d), jnp.float32),
@@ -323,7 +350,7 @@ def spmm(a: BlockSparse, x: jnp.ndarray, transpose: bool = False,
         ],
     )
     y = pl.pallas_call(
-        functools.partial(_spmm_kernel, width=width, x_rows=x_rows,
+        functools.partial(_spmm_kernel, x_rows=x_rows,
                           transpose=transpose),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((out_rows, d), jnp.float32),

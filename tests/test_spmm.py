@@ -22,7 +22,7 @@ def test_block_format_roundtrip(rng):
     # densify the block format and compare with the padded original
     dense = np.zeros(a.shape, np.float32)
     rp = np.asarray(a.row_ptr)
-    cols = np.asarray(a.block_cols)
+    cols = np.asarray(a.block_cols).reshape(-1)  # stored chunked 3-D
     blocks = np.asarray(a.blocks)
     for rt in range(len(rp) - 1):
         for k in range(rp[rt], rp[rt + 1]):
