@@ -208,6 +208,7 @@ def spmm_reference(a: BlockSparse, x: jnp.ndarray,
 
 
 _META_CHUNK = 1024  # ints per metadata DMA (4 KB SMEM; int32 HBM slices tile at 1024)
+_PIPELINE = 4       # tile/x DMA buffer depth (latency hiding at low fill)
 
 
 def _spmm_kernel(ptr_ref, tile_meta_hbm, aux_meta_hbm, blocks_hbm, x_hbm,
@@ -269,15 +270,20 @@ def _spmm_kernel(ptr_ref, tile_meta_hbm, aux_meta_hbm, blocks_hbm, x_hbm,
 
         @pl.when(lo < hi)
         def _():
-            start_pair(lo, 0)
+            # 4-deep pipeline: prefetch up to 3 tile/x pairs ahead so the
+            # per-DMA issue latency (the wall at low fill) overlaps compute
+            for p in range(_PIPELINE - 1):
+                @pl.when(lo + p < hi)
+                def _(p=p):
+                    start_pair(lo + p, p % _PIPELINE)
 
             def body(k, _):
-                slot = (k - lo) % 2
-                nxt = (k - lo + 1) % 2
+                slot = (k - lo) % _PIPELINE
+                nxt = (k - lo + _PIPELINE - 1) % _PIPELINE
 
-                @pl.when(k + 1 < hi)
+                @pl.when(k + _PIPELINE - 1 < hi)
                 def _():
-                    start_pair(k + 1, nxt)
+                    start_pair(k + _PIPELINE - 1, nxt)
 
                 a_dma, x_dma = pair(k, slot)
                 a_dma.wait()
@@ -342,11 +348,11 @@ def spmm(a: BlockSparse, x: jnp.ndarray, transpose: bool = False,
         scratch_shapes=[
             pltpu.SMEM((8, _META_CHUNK // 8), jnp.int32),
             pltpu.SMEM((8, _META_CHUNK // 8), jnp.int32),
-            pltpu.VMEM((2, br, bc), jnp.float32),
-            pltpu.VMEM((2, x_rows, d), jnp.float32),
+            pltpu.VMEM((_PIPELINE, br, bc), jnp.float32),
+            pltpu.VMEM((_PIPELINE, x_rows, d), jnp.float32),
             pltpu.VMEM((out_tile, d), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((_PIPELINE, 2)),
         ],
     )
     y = pl.pallas_call(
