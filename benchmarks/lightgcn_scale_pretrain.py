@@ -6,7 +6,7 @@ impossible; the reference's answer is ``torch.sparse.mm``
 (/root/reference/lightGCN.py:176-194). Here the graph is degree-sorted
 (power-law clustering), packed block-CSR (br=8 thin row tiles for low-fill
 graphs), and the full BPR pretrain loop runs with every propagation on the
-double-buffered Pallas kernel, forward and backward (spmm_pair custom VJP).
+pipelined Pallas kernel, forward and backward (spmm_op custom VJP).
 
     python benchmarks/lightgcn_scale_pretrain.py [--users 1000000]
         [--items 200000] [--batch 65536] [--epochs 1]

@@ -36,7 +36,8 @@ from typing import Callable, List, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from gdmcf_tpu.models.gcn import layer_gcn_apply, layer_gcn_init
+from gdmcf_tpu.models.gcn import (layer_gcn_apply, layer_gcn_init,
+                                  layer_gcn_user_rows)
 from gdmcf_tpu.models.layers import (
     cosine_scores,
     dropout,
@@ -391,9 +392,16 @@ def dnn_one_hot_embedding_gcn(in_dims, out_dims, emb_size, item_num, user_num,
             hc = jnp.concatenate([h, h_U, user_vecs], axis=1)
 
         if gcn_layer_num > 0:
-            gcn_u, _gcn_i = layer_gcn_apply(
-                p["gcn"], hc, item_table, g, num_layers=gcn_layer_num,
-                symmetric=symmetric_gcn)
+            if symmetric_gcn:
+                gcn_u, _gcn_i = layer_gcn_apply(
+                    p["gcn"], hc, item_table, g, num_layers=gcn_layer_num,
+                    symmetric=True)
+            else:
+                # directed (reference-faithful) graph: the user rows the
+                # blend consumes are graph-independent — compute only them
+                # (equality with layer_gcn_apply tested; ~2x step win since
+                # TPU XLA does not DCE the discarded item-side chain)
+                gcn_u = layer_gcn_user_rows(p["gcn"], hc, gcn_layer_num)
             hc = hc * p["sumW"] + gcn_u * (1.0 - p["sumW"])
         scores = cosine_scores(hc, item_table, eps=cosine_eps)
         return scores, closs

@@ -96,6 +96,27 @@ def layer_gcn_apply(
     return u, i
 
 
+def layer_gcn_user_rows(p: dict, h_users: jnp.ndarray,
+                        num_layers: int) -> jnp.ndarray:
+    """User-row output of ``layer_gcn_apply`` in the DIRECTED (reference-
+    faithful) case, computed without touching item rows.
+
+    With user->item edges only, user rows receive nothing but their
+    self-loop (module docstring), so their conv output is graph-independent:
+        u = X_u W1 + b1;  [LeakyReLU(ReLU(u)) W2 + b2]
+    Numerically identical to ``layer_gcn_apply(...)[0]`` with
+    ``symmetric=False`` (tested), but skips the item-side chain
+    ([N, D] projections, g^T aggregation) that the flagship blend discards —
+    the TPU backend does not reliably dead-code-eliminate it, and it
+    dominated the measured step cost (docs/BENCH_NOTES.md round-2 ablation).
+    """
+    u = linear(p["conv1"], h_users)
+    if num_layers == 2:
+        u = jax.nn.leaky_relu(jax.nn.relu(u), 0.1)
+        u = linear(p["conv2"], u)
+    return u
+
+
 def mean_aggregation(
     h_users: jnp.ndarray,
     h_items: jnp.ndarray,

@@ -26,10 +26,15 @@ exists, and tile layout stays MXU/DMA-aligned (lane dim = BC >= 128) in both
 directions.
 
 Scaling design (learned the hard way at 1M x 200k): only the tiny ptr array
-is scalar-prefetched into SMEM; the per-row tile metadata (block_cols /
-block_ids+block_rows) is DMA'd HBM->SMEM per grid step in a fixed-width
-chunk (max tiles per row/col tile, computed host-side). Whole-array
-prefetch of 433k block_cols (1.7 MB) overflows the 1 MB SMEM budget.
+is scalar-prefetched into SMEM; tile metadata (block_cols /
+block_ids+block_rows) is stored in absolute-aligned 1024-entry chunks
+([n_chunks, 8, 128] int32) and DMA'd HBM->SMEM chunk-by-chunk as each
+output tile's range crosses them. Whole-array prefetch of 433k block_cols
+(1.7 MB) overflows the 1 MB SMEM budget, a hot column tile can span EVERY
+row tile (125k entries), and Mosaic requires 1-D int32 DMA offsets/lengths
+to be 1024-aligned — absolute chunking by the untiled leading dim satisfies
+all three. Tile/x DMAs are pipelined _PIPELINE deep (latency-bound at low
+fill: measured 7.5 -> 5.1 ms/product going 2 -> 4 deep).
 
 Hardware alignment rules (Mosaic): BC must be a multiple of 128 (lane dim of
 tile and x DMAs), BR a multiple of 8 (sublane dim); the dense operand's D is
@@ -66,12 +71,12 @@ class BlockSparse(NamedTuple):
     max_col_width: int       # max stored tiles in any col-tile
 
 
-_Meta = Tuple[Tuple[int, int], int, int, int, int]
+_Meta = Tuple[Tuple[int, int], int, int]
 
 
 def block_sparse_meta(a: BlockSparse) -> _Meta:
     """Static metadata (hashable) — pass alongside ``block_sparse_arrays``."""
-    return (a.shape, a.br, a.bc, a.max_row_width, a.max_col_width)
+    return (a.shape, a.br, a.bc)
 
 
 def block_sparse_arrays(a: BlockSparse):
@@ -83,9 +88,10 @@ def block_sparse_arrays(a: BlockSparse):
 
 
 def _rebuild(meta: _Meta, arrays) -> BlockSparse:
-    shape, br, bc, mrw, mcw = meta
+    shape, br, bc = meta
+    # the width fields are host-side diagnostics, irrelevant inside jit
     return BlockSparse(*arrays, shape=shape, br=br, bc=bc,
-                       max_row_width=mrw, max_col_width=mcw)
+                       max_row_width=0, max_col_width=0)
 
 
 def degree_sort_permutation(mat: sp.spmatrix):
@@ -393,15 +399,6 @@ def _spmm_op_bwd(meta, transpose, interpret, res, g):
 
 
 spmm_op.defvjp(_spmm_op_fwd, _spmm_op_bwd)
-
-
-def spmm_pair(meta_a: _Meta, meta_at: _Meta, interpret: bool,
-              a_arrays, at_arrays, x: jnp.ndarray) -> jnp.ndarray:
-    """Back-compat wrapper over ``spmm_op`` (the old API took an explicitly
-    transposed operand; the CSC view made that redundant — meta_at/at_arrays
-    are ignored)."""
-    del meta_at, at_arrays
-    return spmm_op(meta_a, False, interpret, a_arrays, x)
 
 
 # ---------------------------------------------------------------------------

@@ -6,6 +6,7 @@ aggregation) on the dynamic edge list the reference builds
 (ref models/DNN.py:1217-1219), proving the static dense form equivalent."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -92,3 +93,24 @@ def test_layer_gcn_two_layer_shapes(rng):
     # residual path
     u_r, _ = layer_gcn_apply(p, hu, hi, g, num_layers=2, residual=True)
     np.testing.assert_allclose(np.asarray(u_r), np.asarray(u + hu), rtol=1e-6)
+
+
+@pytest.mark.parametrize("layers", [1, 2])
+def test_user_rows_shortcut_equals_full_conv(rng, layers):
+    """layer_gcn_user_rows == layer_gcn_apply(...)[0] in the directed case
+    (the specialization the flagship uses to skip the discarded item chain)."""
+    import jax
+
+    from gdmcf_tpu.models.gcn import (layer_gcn_apply, layer_gcn_init,
+                                      layer_gcn_user_rows)
+
+    b, n, d_in, hid = 12, 20, 16, 8
+    p = layer_gcn_init(jax.random.PRNGKey(0), d_in, hid, d_in, layers)
+    hu = jnp.asarray(rng.standard_normal((b, d_in)).astype(np.float32))
+    hi = jnp.asarray(rng.standard_normal((n, d_in)).astype(np.float32))
+    g = jnp.asarray((rng.random((b, n)) < 0.3).astype(np.float32))
+    full_u, _ = layer_gcn_apply(p, hu, hi, g, num_layers=layers,
+                                symmetric=False)
+    fast_u = layer_gcn_user_rows(p, hu, layers)
+    np.testing.assert_allclose(np.asarray(fast_u), np.asarray(full_u),
+                               rtol=1e-6, atol=1e-6)
