@@ -534,12 +534,13 @@ def dnn_lightgcn(in_dims, out_dims, emb_size, n_user, n_item,
     optimizer masks out (no weight-decay erosion). Without ``norm_adj`` the
     raw init embeddings are used (0 propagation layers).
 
-    ``sparse_adj``: large-graph alternative to ``norm_adj`` — a
-    ``(block_sparse,)`` or ``(block_sparse, interpret)`` tuple from
-    ``models/lightgcn.normalized_bipartite_sparse``; the init-time
-    propagation then runs on the Pallas SpMM (CSC view for the transpose
-    direction) and nothing [n_user, n_item]-dense materializes (the
-    reference equivalent is ``torch.sparse.mm``, lightGCN.py:176-194).
+    ``sparse_adj``: large-graph alternative to ``norm_adj`` — an
+    ``(operand,)`` or ``(operand, interpret)`` tuple where operand is a
+    BlockSparse (``normalized_bipartite_sparse``) or HybridSparse
+    (``normalized_bipartite_hybrid``); the init-time propagation then runs
+    on the Pallas SpMM (CSC view for the transpose direction) and nothing
+    [n_user, n_item]-dense materializes (the reference equivalent is
+    ``torch.sparse.mm``, lightGCN.py:176-194).
     """
     assert out_dims[0] == in_dims[-1]
     in_t = _tower_dims(in_dims, emb_size)
@@ -549,14 +550,22 @@ def dnn_lightgcn(in_dims, out_dims, emb_size, n_user, n_item,
         emb = xavier_uniform(k4, (n_user + n_item, lgn_dim))
         e_user, e_item = emb[:n_user], emb[n_user:]
         if sparse_adj is not None:
-            from gdmcf_tpu.models.lightgcn import propagate_sparse
-            from gdmcf_tpu.ops.spmm import (block_sparse_arrays,
-                                            block_sparse_meta)
-            n_bs = sparse_adj[0]
+            from gdmcf_tpu.models.lightgcn import (propagate_hybrid,
+                                                   propagate_sparse)
+            from gdmcf_tpu.ops.spmm import (HybridSparse,
+                                            block_sparse_arrays,
+                                            block_sparse_meta,
+                                            hybrid_arrays, hybrid_meta)
+            op = sparse_adj[0]
             interp = sparse_adj[1] if len(sparse_adj) > 1 else False
-            e_user, e_item = propagate_sparse(
-                e_user, e_item, block_sparse_meta(n_bs),
-                block_sparse_arrays(n_bs), lgn_layers, interpret=interp)
+            if isinstance(op, HybridSparse):
+                e_user, e_item = propagate_hybrid(
+                    e_user, e_item, hybrid_meta(op), hybrid_arrays(op),
+                    lgn_layers, interpret=interp)
+            else:
+                e_user, e_item = propagate_sparse(
+                    e_user, e_item, block_sparse_meta(op),
+                    block_sparse_arrays(op), lgn_layers, interpret=interp)
         elif norm_adj is not None:
             r_ui = jnp.asarray(norm_adj[0])
             us, its = [e_user], [e_item]

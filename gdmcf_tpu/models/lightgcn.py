@@ -238,8 +238,20 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
     n_user, n_item = train_csr.shape
     key = jax.random.PRNGKey(seed)
     e0 = xavier_uniform(key, (n_user + n_item, latent_dim))
+    dense_bytes = n_user * n_item * 4
     if sparse is None:
-        sparse = n_user * n_item * 4 > (2 << 30)
+        sparse = dense_bytes > (2 << 30)
+    if evaluate and dense_bytes > (2 << 30):
+        # the eval path materializes train/test dense masks AND the
+        # [n_user, n_item] score matrix — impossible at the scales that
+        # force sparse propagation; fall back to loss-only training
+        import warnings
+        warnings.warn(
+            f"pretrain: disabling the dense ranking eval at {n_user} x "
+            f"{n_item} (score matrix alone would be "
+            f"{dense_bytes / 2**30:.1f} GiB); returning final (not "
+            "best-NDCG) embeddings", stacklevel=2)
+        evaluate = False
     # propagation operands ride as jit ARGUMENTS — closing over them would
     # embed the whole adjacency as a program constant (oversized compiles)
     if sparse == "hybrid":

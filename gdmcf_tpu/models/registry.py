@@ -79,10 +79,15 @@ def build_model(cfg, n_user: int, n_item: int, train_csr=None,
         norm_adj, sparse_adj = None, None
         if train_csr is not None:
             # dense normalized blocks for moderate catalogs (MXU-optimal);
-            # Pallas block-CSR once the dense [n_user, n_item] would be large
+            # hybrid tile+COO once the dense [n_user, n_item] would be large
+            # (the hybrid format degrades gracefully on unclustered graphs —
+            # stragglers go to the COO remainder instead of raising)
             if n_user * n_item * 4 > (2 << 30):
-                from gdmcf_tpu.models.lightgcn import normalized_bipartite_sparse
-                sparse_adj = (normalized_bipartite_sparse(train_csr),)
+                import jax
+
+                from gdmcf_tpu.models.lightgcn import normalized_bipartite_hybrid
+                interp = jax.default_backend() != "tpu"  # Pallas needs a chip
+                sparse_adj = (normalized_bipartite_hybrid(train_csr), interp)
             else:
                 from gdmcf_tpu.models.lightgcn import normalized_bipartite_blocks
                 n_mat = normalized_bipartite_blocks(train_csr)

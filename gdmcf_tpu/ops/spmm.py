@@ -246,11 +246,13 @@ def _spmm_kernel(ptr_ref, tile_meta_hbm, aux_meta_hbm, blocks_hbm, x_hbm,
         meta_dma = pltpu.make_async_copy(tile_meta_hbm.at[c], meta_buf,
                                          meta_sems.at[0])
         meta_dma.start()
-        aux_dma = pltpu.make_async_copy(aux_meta_hbm.at[c], aux_buf,
-                                        meta_sems.at[1])
-        aux_dma.start()
+        if transpose:  # forward never reads the CSC ids — skip the dead DMA
+            aux_dma = pltpu.make_async_copy(aux_meta_hbm.at[c], aux_buf,
+                                            meta_sems.at[1])
+            aux_dma.start()
         meta_dma.wait()
-        aux_dma.wait()
+        if transpose:
+            aux_dma.wait()
         lo = jnp.maximum(start, c * _META_CHUNK)
         hi = jnp.minimum(stop, (c + 1) * _META_CHUNK)
 

@@ -215,8 +215,9 @@ class Trainer:
         if (self.mesh is not None and self.cfg.mesh_mp > 1
                 and scores.shape[1] // self.cfg.mesh_mp >= top_k):
             # shard-local top-k + k-merge: only [B, k] crosses the ICI.
-            # Non-divisible shapes are padded (-inf catalog columns, zero
-            # rows) instead of silently all-gathering the full matrix.
+            # Non-divisible shapes are padded with -inf (extra catalog
+            # columns AND batch rows; padded rows are sliced off below)
+            # instead of silently all-gathering the full matrix.
             from gdmcf_tpu.ops.topk import sharded_topk
             b, n = scores.shape
             pad_n = (-n) % self.cfg.mesh_mp
@@ -272,10 +273,14 @@ class Trainer:
         i = 0
         while i < len(cached):
             group = cached[i:i + k_fuse]
-            # only fuse equal-shape (full) batches; the trailing partial
-            # batch (if any) runs alone
-            if (k_fuse > 1 and len(group) > 1
-                    and all(g[1].shape == group[0][1].shape for g in group)):
+            # fuse the equal-shape PREFIX of the window (a trailing partial
+            # batch only trims the group, it doesn't un-fuse the full ones)
+            n_eq = 1
+            while (n_eq < len(group)
+                   and group[n_eq][1].shape == group[0][1].shape):
+                n_eq += 1
+            group = group[:n_eq]
+            if k_fuse > 1 and len(group) > 1:
                 xs = jnp.stack([g[1] for g in group])
                 us = jnp.stack([g[2] for g in group])
                 ms = jnp.stack([g[3] for g in group])
