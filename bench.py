@@ -31,7 +31,8 @@ N_USER, N_ITEM = 5949, 2810
 
 
 def measure(batch=1024, iters=200, warmup=5, seed=0, rng_impl="rbg",
-            steps_per_call=100, param_dtype="float32"):
+            steps_per_call=100, param_dtype="float32",
+            moment_dtype="bfloat16"):
     """Steady-state training throughput. Methodology for relayed/dev
     backends where async timing lies (block_until_ready is a no-op and
     repeated identical calls can be elided):
@@ -46,7 +47,7 @@ def measure(batch=1024, iters=200, warmup=5, seed=0, rng_impl="rbg",
                  steps=5, noise_scale=0.01, noise_min=0.001, noise_max=0.01,
                  batch_size=batch, lr=1e-5, rng_impl=rng_impl,
                  sampling_steps=0, train_steps_per_call=steps_per_call,
-                 param_dtype=param_dtype)
+                 param_dtype=param_dtype, opt_moment_dtype=moment_dtype)
     trainer = Trainer(cfg, n_user=N_USER, n_item=N_ITEM)
     state = trainer.init_state()
     rng = np.random.default_rng(seed)
@@ -128,6 +129,10 @@ def main():
     ap.add_argument("--steps-per-call", type=int, default=100)
     ap.add_argument("--param-dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    # bf16 Adam moments: halves the optimizer's HBM traffic — the measured
+    # bandwidth wall of the fused step (benchmarks/profile_train3.py)
+    ap.add_argument("--moment-dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"])
     args = ap.parse_args()
 
     if args.metric == "infer":
@@ -147,7 +152,8 @@ def main():
 
     eps = measure(batch=args.batch, iters=args.iters, rng_impl=args.rng,
                   steps_per_call=args.steps_per_call,
-                  param_dtype=args.param_dtype)
+                  param_dtype=args.param_dtype,
+                  moment_dtype=args.moment_dtype)
     print(json.dumps({
         "metric": "train_examples_per_s",
         "value": round(eps, 2),

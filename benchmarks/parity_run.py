@@ -56,7 +56,7 @@ def run_seed(opts, seed: int) -> dict:
         steps=opts.steps, noise_schedule="linear-var",
         noise_scale=opts.noise_scale, noise_min=0.001, noise_max=0.01,
         sampling_steps=opts.sampling_steps, mean_type="x0", reweight=True,
-        OneHotMatrix=2, epochs=opts.epochs, eval_every=5,
+        OneHotMatrix=opts.OneHotMatrix, epochs=opts.epochs, eval_every=5,
         n_user_cap=opts.n_user_cap, fidelity=bool(opts.fidelity),
         random_seed=seed, debug=True,
         train_steps_per_call=1)
@@ -89,6 +89,7 @@ def main():
     ap.add_argument("--sampling-steps", type=int, default=0)
     ap.add_argument("--n-user-cap", type=int, default=3000)
     ap.add_argument("--fidelity", type=int, default=1)
+    ap.add_argument("--OneHotMatrix", type=int, default=2)
     ap.add_argument("--out", default=None)
     opts = ap.parse_args()
 

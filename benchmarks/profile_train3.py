@@ -99,9 +99,11 @@ def main():
 
     time_variant(
         "sgd",
-        lambda: _patch(sys.modules["gdmcf_tpu.train.trainer"],
-                       "make_optimizer", sgd_optimizer),
-        _restore)
+        lambda: [_patch(sys.modules["gdmcf_tpu.train.trainer"],
+                        "make_optimizer", sgd_optimizer),
+                 _patch(sys.modules["gdmcf_tpu.train.state"],
+                        "make_optimizer", sgd_optimizer)],
+        lambda ss: [_restore(s) for s in ss])
 
     time_variant(
         "no_ntxent",

@@ -169,8 +169,8 @@ def run(opts) -> dict:
         mean_type="x0", steps=opts.steps, noise_schedule="linear-var",
         noise_scale=opts.noise_scale, noise_min=0.001, noise_max=0.01,
         sampling_noise=False, sampling_steps=opts.sampling_steps,
-        reweight=True, discrete=0.9995, OneHotMatrix=2, batch_size=opts.batch,
-        user_guided=1, epps0=epps0)
+        reweight=True, discrete=0.9995, OneHotMatrix=opts.OneHotMatrix,
+        batch_size=opts.batch, user_guided=1, epps0=epps0)
 
     torch.manual_seed(opts.seed)
     np.random.seed(opts.seed)
@@ -243,6 +243,9 @@ def main():
     ap.add_argument("--noise-scale", type=float, default=0.01)
     ap.add_argument("--sampling-steps", type=int, default=0)
     ap.add_argument("--n-user-cap", type=int, default=3000)
+    # 2 = CatOneHot (two-arg backbones); 0 = plain model(x_t, ts) backbones
+    # like DNN (ref gaussian_diffusion.py:885-894 branches on CatOneHot)
+    ap.add_argument("--OneHotMatrix", type=int, default=2)
     ap.add_argument("--out", default=None)
     opts = ap.parse_args()
     result = run(opts)

@@ -107,6 +107,10 @@ class Config:
     # matmul precision: "bfloat16" -> single fast MXU pass (the measured-fast
     # default), "float32" -> 3-pass f32-equivalent for bit-level comparisons
     compute_dtype: str = "bfloat16"
+    # Adam moment storage: "bfloat16" halves the optimizer state's HBM
+    # traffic (the measured bandwidth wall of the fused step — update math
+    # stays f32, train/state.py:scale_by_adam_lowp); "float32" = exact optax
+    opt_moment_dtype: str = "bfloat16"
     eval_every: int = 5             # reference main.py:353
     early_stop_patience: int = 200  # reference main.py:316-319
     history_num_per_term: int = 10  # Lt importance-sampler ring size
@@ -158,6 +162,8 @@ class Config:
             raise ValueError("param_dtype must be float32 or bfloat16")
         if self.compute_dtype not in ("bfloat16", "float32"):
             raise ValueError("compute_dtype must be bfloat16 or float32")
+        if self.opt_moment_dtype not in ("bfloat16", "float32"):
+            raise ValueError("opt_moment_dtype must be bfloat16 or float32")
 
     # -- derived helpers ------------------------------------------------------
     def out_dims(self, n_item: int) -> List[int]:

@@ -70,15 +70,78 @@ def with_f32_master(inner: optax.GradientTransformation
     return optax.GradientTransformation(init, update)
 
 
+class _AdamLowpState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def scale_by_adam_lowp(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+                       moment_dtype=jnp.bfloat16
+                       ) -> optax.GradientTransformation:
+    """Adam scaling with both moments STORED in ``moment_dtype``; all
+    arithmetic in float32.
+
+    Why: the fused train step is HBM-bandwidth-bound on the optimizer —
+    AdamW's 7 full passes over params/grads/moments cost ~0.6 ms of the
+    2.1 ms step at the Yelp-recipe geometry (benchmarks/profile_train3.py:
+    AdamW->SGD saves exactly that). bf16 moments drop 4 of those passes to
+    half width. Numerics: nu >= 0 and bf16 keeps the full f32 exponent
+    range, so sqrt(nu)+eps sees at most ~0.4% relative rounding; mu rounding
+    is zero-mean across steps. Convergence equivalence is asserted in
+    tests/test_round2_fixes.py and the recipe-level run in BENCH_NOTES.
+    """
+
+    def init(params):
+        z = lambda p: jnp.zeros_like(p, dtype=moment_dtype)
+        return _AdamLowpState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree_util.tree_map(z, params),
+            nu=jax.tree_util.tree_map(z, params))
+
+    def update(grads, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+
+        def mom(m, g, b):
+            return b * m.astype(jnp.float32) + (1.0 - b) * g
+
+        mu32 = jax.tree_util.tree_map(
+            lambda m, g: mom(m, g.astype(jnp.float32), b1), state.mu, grads)
+        nu32 = jax.tree_util.tree_map(
+            lambda v, g: mom(v, jnp.square(g.astype(jnp.float32)), b2),
+            state.nu, grads)
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+        upd = jax.tree_util.tree_map(
+            lambda m, v: (m / c1) / (jnp.sqrt(v / c2) + eps), mu32, nu32)
+        store = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(moment_dtype), t)
+        return upd, _AdamLowpState(count=count, mu=store(mu32),
+                                   nu=store(nu32))
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(lr: float, weight_decay: float,
-                   param_dtype: str = "float32") -> optax.GradientTransformation:
+                   param_dtype: str = "float32",
+                   moment_dtype: str = "float32"
+                   ) -> optax.GradientTransformation:
     """AdamW with torch defaults (ref main.py:258 uses optim.AdamW defaults:
     betas=(0.9, 0.999), eps=1e-8); 'frozen_*' params are masked out.
-    param_dtype='bfloat16' wraps it with f32 master weights."""
-    tx = optax.masked(
-        optax.adamw(learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8,
-                    weight_decay=weight_decay),
-        _trainable_mask)
+    param_dtype='bfloat16' wraps it with f32 master weights;
+    moment_dtype='bfloat16' stores the Adam moments half-width (same update
+    math in f32 — see scale_by_adam_lowp)."""
+    if moment_dtype == "float32":
+        inner = optax.adamw(learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8,
+                            weight_decay=weight_decay)
+    else:
+        # same op order as optax.adamw: adam scale -> decay -> -lr
+        inner = optax.chain(
+            scale_by_adam_lowp(moment_dtype=jnp.dtype(moment_dtype)),
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_learning_rate(lr))
+    tx = optax.masked(inner, _trainable_mask)
     if param_dtype == "bfloat16":
         tx = with_f32_master(tx)
     return tx
@@ -92,7 +155,8 @@ def create_train_state(cfg, model_init, seed: int = None) -> TrainState:
     if cfg.param_dtype == "bfloat16":
         params = jax.tree_util.tree_map(
             lambda p: p.astype(jnp.bfloat16), params)
-    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.param_dtype)
+    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.param_dtype,
+                        getattr(cfg, "opt_moment_dtype", "float32"))
     return TrainState(
         step=jnp.zeros((), dtype=jnp.int32),
         params=params,

@@ -58,7 +58,8 @@ class Trainer:
                                  mesh=self.mesh)
         self.diffusion = Diffusion.create(cfg, index_in=self.model.needs_index,
                                           variant=cfg.diffusion_variant)
-        self.tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.param_dtype)
+        self.tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.param_dtype,
+                                 cfg.opt_moment_dtype)
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
         if cfg.rng_impl != "threefry2x32":
