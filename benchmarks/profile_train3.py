@@ -93,7 +93,7 @@ def main():
                  _patch(Diffusion, "q_sample", clean_q)],
         lambda ss: [_restore(s) for s in ss])
 
-    def sgd_optimizer(lr, wd, param_dtype):
+    def sgd_optimizer(lr, wd, param_dtype, *_args):
         import optax
         return optax.sgd(lr)
 

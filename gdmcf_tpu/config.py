@@ -111,6 +111,16 @@ class Config:
     # traffic (the measured bandwidth wall of the fused step — update math
     # stays f32, train/state.py:scale_by_adam_lowp); "float32" = exact optax
     opt_moment_dtype: str = "bfloat16"
+    # Optimizer implementation (measured ranking in ops/fused_adamw.py
+    # header: inline 1.75 < optax 1.88 < pallas 2.21 ms/step):
+    #   "auto"   = "inline" when eligible (f32 params, single-device mesh),
+    #              else the optax chain
+    #   "inline" = single-pass AdamW as one jnp expression per leaf — one
+    #              multi-output XLA fusion that still overlaps the backward
+    #   "fused"  = the Pallas single-pass kernel (opt-in; a pallas_call is
+    #              a scheduling barrier and opaque to GSPMD)
+    #   "optax"  = the optax chain (any param_dtype / mesh)
+    opt_impl: str = "auto"
     eval_every: int = 5             # reference main.py:353
     early_stop_patience: int = 200  # reference main.py:316-319
     history_num_per_term: int = 10  # Lt importance-sampler ring size
@@ -164,8 +174,39 @@ class Config:
             raise ValueError("compute_dtype must be bfloat16 or float32")
         if self.opt_moment_dtype not in ("bfloat16", "float32"):
             raise ValueError("opt_moment_dtype must be bfloat16 or float32")
+        if self.opt_impl not in ("auto", "inline", "fused", "optax"):
+            raise ValueError("opt_impl must be auto, inline, fused, or optax")
+        if self.opt_impl in ("inline", "fused") and not self.fused_opt_eligible:
+            raise ValueError(
+                f"opt_impl={self.opt_impl!r} requires param_dtype=float32 "
+                "and a single-device mesh (bf16 params need the optax "
+                "f32-master wrapper; meshes keep the GSPMD-partitioned "
+                "optax chain); use opt_impl='auto' to fall back "
+                "automatically")
 
     # -- derived helpers ------------------------------------------------------
+    @property
+    def fused_opt_eligible(self) -> bool:
+        return (self.param_dtype == "float32"
+                and self.mesh_dp * self.mesh_mp == 1)
+
+    @property
+    def use_fused_opt(self) -> bool:
+        """True when the single-pass path (ops/fused_adamw.py) carries the
+        optimizer state — i.e. resolved_opt_impl is not 'optax'."""
+        return self.resolved_opt_impl != "optax"
+
+    @property
+    def resolved_opt_impl(self) -> str:
+        """'inline' | 'kernel' | 'optax' after resolving 'auto'."""
+        if self.opt_impl == "fused":
+            return "kernel"
+        if self.opt_impl == "inline":
+            return "inline"
+        if self.opt_impl == "auto" and self.fused_opt_eligible:
+            return "inline"
+        return "optax"
+
     def out_dims(self, n_item: int) -> List[int]:
         """Reference main.py:198-206: out = dims + [n_item], in = reversed."""
         out = list(self.dims) + [n_item]

@@ -155,12 +155,19 @@ def create_train_state(cfg, model_init, seed: int = None) -> TrainState:
     if cfg.param_dtype == "bfloat16":
         params = jax.tree_util.tree_map(
             lambda p: p.astype(jnp.bfloat16), params)
-    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.param_dtype,
-                        getattr(cfg, "opt_moment_dtype", "float32"))
+    if getattr(cfg, "use_fused_opt", False):
+        from gdmcf_tpu.ops.fused_adamw import fused_adamw_init
+        opt_state = fused_adamw_init(
+            params, _trainable_mask(params),
+            moment_dtype=jnp.dtype(cfg.opt_moment_dtype))
+    else:
+        tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.param_dtype,
+                            getattr(cfg, "opt_moment_dtype", "float32"))
+        opt_state = tx.init(params)
     return TrainState(
         step=jnp.zeros((), dtype=jnp.int32),
         params=params,
-        opt_state=tx.init(params),
+        opt_state=opt_state,
         lt=LtState.create(cfg.steps, cfg.history_num_per_term),
         key=k_run,
     )

@@ -58,8 +58,18 @@ class Trainer:
                                  mesh=self.mesh)
         self.diffusion = Diffusion.create(cfg, index_in=self.model.needs_index,
                                           variant=cfg.diffusion_variant)
-        self.tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.param_dtype,
-                                 cfg.opt_moment_dtype)
+        self._opt_impl = cfg.resolved_opt_impl
+        if self._opt_impl != "optax":
+            # single-pass AdamW (ops/fused_adamw.py): 'inline' (default —
+            # one jnp expression per leaf, measured faster than the optax
+            # chain) or 'kernel' (opt-in Pallas). Eligibility (f32 params,
+            # 1-device mesh) is enforced by Config.
+            self.tx = None
+            self._fused_interpret = (self._opt_impl == "kernel"
+                                     and jax.default_backend() != "tpu")
+        else:
+            self.tx = make_optimizer(cfg.lr, cfg.weight_decay,
+                                     cfg.param_dtype, cfg.opt_moment_dtype)
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
         if cfg.rng_impl != "threefry2x32":
@@ -123,12 +133,22 @@ class Trainer:
         with jax.default_matmul_precision(self._matmul_precision()):
             (loss, (new_lt, aux)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
-        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
-        # dtype-preserving apply: with param_dtype=bfloat16 the update is
-        # (f32 master delta); add in f32, store back in the params' dtype
-        new_params = jax.tree_util.tree_map(
-            lambda p, u: (p.astype(u.dtype) + u).astype(p.dtype),
-            state.params, updates)
+        if self.tx is None:
+            from gdmcf_tpu.ops.fused_adamw import fused_adamw_apply
+            from gdmcf_tpu.train.state import _trainable_mask
+            new_params, new_opt = fused_adamw_apply(
+                state.params, grads, state.opt_state,
+                _trainable_mask(state.params), lr=self.cfg.lr,
+                weight_decay=self.cfg.weight_decay,
+                impl=self._opt_impl, interpret=self._fused_interpret)
+        else:
+            updates, new_opt = self.tx.update(grads, state.opt_state,
+                                              state.params)
+            # dtype-preserving apply: with param_dtype=bfloat16 the update
+            # is (f32 master delta); add in f32, store in the params' dtype
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: (p.astype(u.dtype) + u).astype(p.dtype),
+                state.params, updates)
         new_state = TrainState(step=state.step + 1, params=new_params,
                                opt_state=new_opt, lt=new_lt, key=key)
         return new_state, loss
