@@ -24,12 +24,12 @@ def main():
     import jax.numpy as jnp
 
     from gdmcf_tpu.ops.spmm import (_rebuild, block_sparse_arrays,
-                                    block_sparse_meta, spmm, spmm_reference,
-                                    to_block_sparse)
+                                    block_sparse_meta, n_real_blocks, spmm,
+                                    spmm_reference, to_block_sparse)
 
     rng = np.random.RandomState(0)
 
-    def jit_spmm(a, fn=spmm, transpose=False):
+    def jit_spmm(a, fn=spmm, transpose=False, **kw):
         """Pass the sparse arrays as jit ARGUMENTS: closing over them embeds
         hundreds of MB of constants in the program (the remote-compile
         endpoint rejects such payloads with HTTP 413)."""
@@ -37,7 +37,7 @@ def main():
 
         @functools.partial(jax.jit)
         def run(arrays, x):
-            return fn(_rebuild(meta, arrays), x, transpose=transpose)
+            return fn(_rebuild(meta, arrays), x, transpose=transpose, **kw)
 
         arrays = block_sparse_arrays(a)
         return lambda x: run(arrays, x)
@@ -81,14 +81,20 @@ def main():
     rp, cp = degree_sort_permutation(m)
     m = m[rp][:, cp].tocsr()
     a = to_block_sparse(m, br=128, bc=128, max_bytes=12 << 30)
-    fill = m.nnz / (a.blocks.shape[0] * a.br * a.bc)
-    print(f"power-law graph: nnz={m.nnz}, tiles={a.blocks.shape[0]}, "
+    fill = m.nnz / (n_real_blocks(a) * a.br * a.bc)
+    print(f"power-law graph: nnz={m.nnz}, tiles={n_real_blocks(a)}, "
           f"tile fill={fill:.3f}", flush=True)
     x = jnp.asarray(rng.randn(n_items, 128).astype(np.float32))
 
-    kern = jit_spmm(a)
+    kern = jit_spmm(a, x_vmem=False)
+    kern_vx = jit_spmm(a, x_vmem=True)
     ref = jit_spmm(a, fn=spmm_reference)
-    for name, fn in (("pallas", kern), ("gather-ref", ref)):
+    expect = m @ np.asarray(x)
+    for name, fn in (("pallas-stream", kern), ("pallas-vmem-x", kern_vx),
+                     ("gather-ref", ref)):
+        got = np.asarray(fn(x))[: m.shape[0]]
+        rel = np.abs(got - expect).max() / max(np.abs(expect).max(), 1e-6)
+        assert rel < 5e-3, f"{name} wrong: rel err {rel:.2e}"
         out = fn(x)
         jax.block_until_ready(out)
         t0 = time.perf_counter()

@@ -45,7 +45,7 @@ sizes.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -72,6 +72,12 @@ class BlockSparse(NamedTuple):
 
 
 _Meta = Tuple[Tuple[int, int], int, int]
+
+
+def n_real_blocks(a: BlockSparse) -> int:
+    """Stored tile count, excluding the _GROUP-1 zero pad tiles appended
+    for the batched-DMA kernel (see to_block_sparse)."""
+    return a.blocks.shape[0] - (_GROUP - 1)
 
 
 def block_sparse_meta(a: BlockSparse) -> _Meta:
@@ -172,6 +178,13 @@ def to_block_sparse(mat: sp.spmatrix, br: int = 128, bc: int = 128,
         u_cb = np.zeros(1, np.int32)
         csc_order = np.zeros(1, np.int32)
         csc_rows = np.zeros(1, np.int32)
+    # pad with _GROUP-1 zero tiles: the VMEM-x kernel fetches blocks in
+    # contiguous _GROUP-sized batches (CSR order) and the last batch of a
+    # range may overrun the real tiles. Zero tiles are inert everywhere:
+    # ptr ranges never reach them in the kernels, and in spmm_reference
+    # their segment ids fall out of range (dropped) with zero values anyway.
+    pad = np.zeros((_GROUP - 1, br, bc), dtype=np.float32)
+    blocks = np.concatenate([blocks, pad], axis=0)
     return BlockSparse(
         blocks=jnp.asarray(blocks),
         block_cols=jnp.asarray(chunked(u_cb)),
@@ -188,7 +201,7 @@ def to_block_sparse(mat: sp.spmatrix, br: int = 128, bc: int = 128,
 def spmm_reference(a: BlockSparse, x: jnp.ndarray,
                    transpose: bool = False) -> jnp.ndarray:
     """Gather-based oracle: y = A @ x (or A^T @ x) via jnp ops, any backend."""
-    n_blocks = a.blocks.shape[0]
+    n_blocks = n_real_blocks(a)
     if transpose:
         n_out_tiles = a.shape[1] // a.bc
         x_pad = jnp.zeros((a.shape[0], x.shape[1]),
@@ -206,7 +219,7 @@ def spmm_reference(a: BlockSparse, x: jnp.ndarray,
                       x.dtype).at[: x.shape[0]].set(x)
     x_tiles = x_pad.reshape(-1, a.bc, x.shape[1])
     gathered = x_tiles[a.block_cols.reshape(-1)[:n_blocks]]
-    per_block = jnp.einsum("kij,kjd->kid", a.blocks, gathered)
+    per_block = jnp.einsum("kij,kjd->kid", a.blocks[:n_blocks], gathered)
     seg_ids = jnp.searchsorted(a.row_ptr[1:], jnp.arange(n_blocks),
                                side="right")
     y = jax.ops.segment_sum(per_block, seg_ids, num_segments=n_row_tiles)
@@ -215,6 +228,8 @@ def spmm_reference(a: BlockSparse, x: jnp.ndarray,
 
 _META_CHUNK = 1024  # ints per metadata DMA (4 KB SMEM; int32 HBM slices tile at 1024)
 _PIPELINE = 4       # tile/x DMA buffer depth (latency hiding at low fill)
+_GROUP = 8          # tiles per batched block DMA (VMEM-x forward kernel)
+_X_VMEM_BUDGET = 6 << 20  # keep whole x in VMEM when it fits this many bytes
 
 
 def _spmm_kernel(ptr_ref, tile_meta_hbm, aux_meta_hbm, blocks_hbm, x_hbm,
@@ -316,8 +331,199 @@ def _spmm_kernel(ptr_ref, tile_meta_hbm, aux_meta_hbm, blocks_hbm, x_hbm,
     y_ref[:] = acc_ref[:]
 
 
+def _spmm_kernel_vx_fwd(ptr_ref, tile_meta_hbm, blocks_hbm, x_ref, y_ref,
+                        meta_buf, a_buf, acc_ref, meta_sem, sems,
+                        *, x_rows: int):
+    """Forward pass with x resident in VMEM: batched contiguous block DMA.
+
+    CSR tile order makes this range of ``blocks`` contiguous in HBM, so
+    tiles stream in _GROUP-sized batches (one DMA descriptor per _GROUP
+    tiles instead of per tile — the per-DMA issue latency is the wall at
+    low fill), double-buffered; x is read directly from VMEM, no x DMAs at
+    all. ``blocks`` carries _GROUP-1 zero pad tiles so edge batches may
+    overrun the real tile count safely.
+    """
+    i = pl.program_id(0)
+    start = ptr_ref[i]
+    stop = ptr_ref[i + 1]
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    sub = _META_CHUNK // 8
+
+    def chunk_body(c, _):
+        meta_dma = pltpu.make_async_copy(tile_meta_hbm.at[c], meta_buf,
+                                         meta_sem)
+        meta_dma.start()
+        meta_dma.wait()
+        lo = jnp.maximum(start, c * _META_CHUNK)
+        hi = jnp.minimum(stop, (c + 1) * _META_CHUNK)
+
+        def meta_at(k):
+            j = k - c * _META_CHUNK
+            return meta_buf[j // sub, j % sub]
+
+        def start_group(k0, slot):
+            pltpu.make_async_copy(blocks_hbm.at[pl.ds(k0, _GROUP)],
+                                  a_buf.at[slot], sems.at[slot]).start()
+
+        @pl.when(lo < hi)
+        def _():
+            n_groups = (hi - lo + _GROUP - 1) // _GROUP
+            start_group(lo, 0)
+
+            def gbody(g, _):
+                g0 = lo + g * _GROUP
+                slot = g % 2
+
+                @pl.when(g + 1 < n_groups)
+                def _():
+                    start_group(g0 + _GROUP, (g + 1) % 2)
+
+                pltpu.make_async_copy(blocks_hbm.at[pl.ds(g0, _GROUP)],
+                                      a_buf.at[slot], sems.at[slot]).wait()
+                for j in range(_GROUP):
+                    @pl.when(g0 + j < hi)
+                    def _(j=j):
+                        xt = x_ref[pl.ds(meta_at(g0 + j) * x_rows, x_rows), :]
+                        acc_ref[:] += jnp.dot(
+                            a_buf[slot, j], xt,
+                            preferred_element_type=jnp.float32)
+                return 0
+
+            jax.lax.fori_loop(0, n_groups, gbody, 0)
+        return 0
+
+    first = start // _META_CHUNK
+    n_chunks = (stop + _META_CHUNK - 1) // _META_CHUNK - first
+    jax.lax.fori_loop(first, first + n_chunks, chunk_body, 0)
+    y_ref[:] = acc_ref[:]
+
+
+def _spmm_kernel_vx_t(ptr_ref, tile_meta_hbm, aux_meta_hbm, blocks_hbm,
+                      x_ref, y_ref, meta_buf, aux_buf, a_buf, acc_ref,
+                      meta_sems, sems, *, x_rows: int):
+    """Transpose pass with x resident in VMEM: per-tile CSC-permuted block
+    DMA ( _PIPELINE deep), x read from VMEM — half the DMAs of the
+    streaming transpose kernel."""
+    i = pl.program_id(0)
+    start = ptr_ref[i]
+    stop = ptr_ref[i + 1]
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    sub = _META_CHUNK // 8
+
+    def chunk_body(c, _):
+        meta_dma = pltpu.make_async_copy(tile_meta_hbm.at[c], meta_buf,
+                                         meta_sems.at[0])
+        aux_dma = pltpu.make_async_copy(aux_meta_hbm.at[c], aux_buf,
+                                        meta_sems.at[1])
+        meta_dma.start()
+        aux_dma.start()
+        meta_dma.wait()
+        aux_dma.wait()
+        lo = jnp.maximum(start, c * _META_CHUNK)
+        hi = jnp.minimum(stop, (c + 1) * _META_CHUNK)
+
+        def meta_at(buf, k):
+            j = k - c * _META_CHUNK
+            return buf[j // sub, j % sub]
+
+        def start_tile(k, slot):
+            pltpu.make_async_copy(blocks_hbm.at[meta_at(aux_buf, k)],
+                                  a_buf.at[slot], sems.at[slot]).start()
+
+        @pl.when(lo < hi)
+        def _():
+            for p in range(_PIPELINE - 1):
+                @pl.when(lo + p < hi)
+                def _(p=p):
+                    start_tile(lo + p, p % _PIPELINE)
+
+            def body(k, _):
+                slot = (k - lo) % _PIPELINE
+                nxt = (k - lo + _PIPELINE - 1) % _PIPELINE
+
+                @pl.when(k + _PIPELINE - 1 < hi)
+                def _():
+                    start_tile(k + _PIPELINE - 1, nxt)
+
+                pltpu.make_async_copy(blocks_hbm.at[meta_at(aux_buf, k)],
+                                      a_buf.at[slot], sems.at[slot]).wait()
+                xt = x_ref[pl.ds(meta_at(meta_buf, k) * x_rows, x_rows), :]
+                acc_ref[:] += jax.lax.dot_general(
+                    a_buf[slot], xt,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return 0
+
+            jax.lax.fori_loop(lo, hi, body, 0)
+        return 0
+
+    first = start // _META_CHUNK
+    n_chunks = (stop + _META_CHUNK - 1) // _META_CHUNK - first
+    jax.lax.fori_loop(first, first + n_chunks, chunk_body, 0)
+    y_ref[:] = acc_ref[:]
+
+
+def _spmm_call_vx(a: BlockSparse, x_pad, ptr, tile_meta, aux, grid, x_rows,
+                  out_rows, out_tile, d, transpose, interpret):
+    """pallas_call wrapper for the VMEM-resident-x kernels."""
+    br, bc = a.br, a.bc
+    x_spec = pl.BlockSpec(x_pad.shape, lambda i, *_: (0, 0),
+                          memory_space=pltpu.VMEM)
+    if transpose:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),   # tile_meta (block_rows)
+                pl.BlockSpec(memory_space=pl.ANY),   # aux (csc ids)
+                pl.BlockSpec(memory_space=pl.ANY),   # blocks stay in HBM
+                x_spec,                              # x resident in VMEM
+            ],
+            out_specs=pl.BlockSpec((out_tile, d), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.SMEM((8, _META_CHUNK // 8), jnp.int32),
+                pltpu.SMEM((8, _META_CHUNK // 8), jnp.int32),
+                pltpu.VMEM((_PIPELINE, br, bc), jnp.float32),
+                pltpu.VMEM((out_tile, d), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((_PIPELINE,)),
+            ],
+        )
+        kernel = functools.partial(_spmm_kernel_vx_t, x_rows=x_rows)
+        operands = (ptr, tile_meta, aux, a.blocks, x_pad)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),   # tile_meta (block_cols)
+                pl.BlockSpec(memory_space=pl.ANY),   # blocks stay in HBM
+                x_spec,                              # x resident in VMEM
+            ],
+            out_specs=pl.BlockSpec((out_tile, d), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.SMEM((8, _META_CHUNK // 8), jnp.int32),
+                pltpu.VMEM((2, _GROUP, br, bc), jnp.float32),
+                pltpu.VMEM((out_tile, d), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        kernel = functools.partial(_spmm_kernel_vx_fwd, x_rows=x_rows)
+        operands = (ptr, tile_meta, a.blocks, x_pad)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_rows, d), jnp.float32),
+        interpret=interpret,
+    )(*operands)
+
+
 def spmm(a: BlockSparse, x: jnp.ndarray, transpose: bool = False,
-         interpret: bool = False) -> jnp.ndarray:
+         interpret: bool = False, x_vmem: Optional[bool] = None
+         ) -> jnp.ndarray:
     """``y = A @ x`` (or ``A^T @ x``) with the Pallas kernel.
 
     x: [A.shape[1] (or [0] for transpose), D] — unpadded rows accepted, D is
@@ -325,6 +531,11 @@ def spmm(a: BlockSparse, x: jnp.ndarray, transpose: bool = False,
     tile grid; slice to the logical size at the call site. Not jitted here
     (see block_sparse_arrays on how to pass the operand at a jit boundary);
     for gradients use ``spmm_op``.
+
+    ``x_vmem`` — keep the whole dense operand resident in VMEM: forward
+    batches _GROUP contiguous tiles per block DMA and issues no x DMAs at
+    all; transpose halves the DMA count. Auto-selected when the padded x
+    fits _X_VMEM_BUDGET; pass explicitly to force either kernel.
     """
     br, bc = a.br, a.bc
     if transpose:
@@ -341,6 +552,13 @@ def spmm(a: BlockSparse, x: jnp.ndarray, transpose: bool = False,
     # Mosaic: lane (last) dim of DMA slices must be 128-aligned
     d = -(-d_in // 128) * 128
     x_pad = jnp.zeros((n_x, d), x.dtype).at[: x.shape[0], : d_in].set(x)
+
+    if x_vmem is None:
+        x_vmem = n_x * d * 4 <= _X_VMEM_BUDGET
+    if x_vmem:
+        y = _spmm_call_vx(a, x_pad, ptr, tile_meta, aux, grid, x_rows,
+                          out_rows, out_tile, d, transpose, interpret)
+        return y[:, :d_in] if d != d_in else y
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,          # ptr only — tile metadata is DMA'd

@@ -42,14 +42,17 @@ def test_spmm_reference_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(y)[:270], expect, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("x_vmem", [True, False])
 @pytest.mark.parametrize("shape,density", [((256, 256), 0.05),
                                            ((384, 640), 0.01),
                                            ((128, 128), 0.3)])
-def test_spmm_pallas_interpret(rng, shape, density):
+def test_spmm_pallas_interpret(rng, shape, density, x_vmem):
+    """Both kernel families: VMEM-resident-x (batched block DMA) and the
+    HBM-streaming pipeline."""
     m = random_sparse(rng, *shape, density)
     a = to_block_sparse(m, br=128, bc=128)
     x = rng.standard_normal((shape[1], 128)).astype(np.float32)
-    y = spmm(a, jnp.asarray(x), interpret=True)
+    y = spmm(a, jnp.asarray(x), interpret=True, x_vmem=x_vmem)
     expect = m.toarray() @ x
     np.testing.assert_allclose(np.asarray(y)[:shape[0]], expect,
                                rtol=1e-4, atol=1e-4)
@@ -61,6 +64,12 @@ def test_spmm_empty_row_tile(rng):
                       shape=(300, 200))  # rows 128..255 empty -> tile 1 empty
     a = to_block_sparse(m, br=128, bc=128)
     x = rng.standard_normal((200, 128)).astype(np.float32)
+    for x_vmem in (True, False):
+        y = np.asarray(spmm(a, jnp.asarray(x), interpret=True,
+                            x_vmem=x_vmem))
+        np.testing.assert_allclose(y[128:256], 0.0)
+        np.testing.assert_allclose(y[:300], m.toarray() @ x,
+                                   rtol=1e-4, atol=1e-4)
     y = np.asarray(spmm(a, jnp.asarray(x), interpret=True))
     np.testing.assert_allclose(y[128:256], 0.0)
     np.testing.assert_allclose(y[:300], m.toarray() @ x, rtol=1e-4, atol=1e-4)
@@ -91,22 +100,24 @@ def test_degree_sort_improves_clustering(rng):
     shuffled = m[rng2.permutation(n_u)][:, rng2.permutation(n_i)].tocsr()
 
     def n_tiles(mat):
+        from gdmcf_tpu.ops.spmm import n_real_blocks
         a = to_block_sparse(mat, br=128, bc=128, max_bytes=1 << 30)
-        return a.blocks.shape[0]
+        return n_real_blocks(a)
 
     rp, cp = degree_sort_permutation(shuffled)
     sorted_m = shuffled[rp][:, cp].tocsr()
     assert n_tiles(sorted_m) < n_tiles(shuffled)
 
 
+@pytest.mark.parametrize("x_vmem", [True, False])
 @pytest.mark.parametrize("br", [8, 16, 128])
-def test_spmm_thin_row_tiles(rng, br):
+def test_spmm_thin_row_tiles(rng, br, x_vmem):
     """br=8/16 tiles (f32 min sublane is 8) cut densification waste ~16x for
-    power-law graphs; the kernel is parametric in br."""
+    power-law graphs; both kernel families are parametric in br."""
     m = random_sparse(rng, 384, 512, 0.03)
     a = to_block_sparse(m, br=br, bc=128)
     x = rng.standard_normal((512, 128)).astype(np.float32)
-    y = spmm(a, jnp.asarray(x), interpret=True)
+    y = spmm(a, jnp.asarray(x), interpret=True, x_vmem=x_vmem)
     np.testing.assert_allclose(np.asarray(y)[:384], m.toarray() @ x,
                                rtol=1e-4, atol=1e-4)
 
@@ -135,7 +146,8 @@ def test_hybrid_matches_dense(rng):
                      rng.standard_normal((n_r, n_c)), 0.0).astype(np.float32)
     h = to_hybrid(sp.csr_matrix(dense), br=8, bc=16, min_fill=20)
     assert h.rem_vals.shape[0] > 0          # some tiles went to COO...
-    assert h.tiles.blocks.shape[0] > 1      # ...and some stayed dense
+    from gdmcf_tpu.ops.spmm import n_real_blocks
+    assert n_real_blocks(h.tiles) > 1       # ...and some stayed dense
     x = rng.standard_normal((n_c, d)).astype(np.float32)
     y = np.asarray(hybrid_spmm(hybrid_meta(h), hybrid_arrays(h),
                                jnp.asarray(x), interpret=True))[:n_r]
@@ -203,9 +215,10 @@ def test_spmm_transpose_matches_dense(rng):
                      rng.standard_normal((n_r, n_c)), 0.0).astype(np.float32)
     a = to_block_sparse(sp.csr_matrix(dense), br=8, bc=16)
     x = rng.standard_normal((n_r, d)).astype(np.float32)
-    y = np.asarray(spmm(a, jnp.asarray(x), transpose=True,
-                        interpret=True))[:n_c]
-    np.testing.assert_allclose(y, dense.T @ x, rtol=2e-4, atol=2e-5)
+    for x_vmem in (True, False):
+        y = np.asarray(spmm(a, jnp.asarray(x), transpose=True,
+                            interpret=True, x_vmem=x_vmem))[:n_c]
+        np.testing.assert_allclose(y, dense.T @ x, rtol=2e-4, atol=2e-5)
 
 
 def test_spmm_op_vjp_both_directions(rng):
