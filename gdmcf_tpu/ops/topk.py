@@ -17,6 +17,47 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 
+# Measured crossover on a v5e (benchmarks/profile_topk.py, verified-fetch
+# protocol): at [1024, 2810] k=100 one lax.top_k wins (0.36 ms vs 0.69+);
+# at [256, 131072] chunk=512 wins ~13% (9.95 vs 11.5 ms). Chunking only
+# pays once the catalog is large enough that the candidate set (n/chunk*k)
+# is a real reduction.
+_CHUNK_MIN_N = 65536
+
+
+def chunked_topk(scores: jnp.ndarray, k: int, chunk: int = 512,
+                 min_n: int = _CHUNK_MIN_N
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k: per-chunk select + candidate merge for large catalogs,
+    one ``lax.top_k`` below the measured crossover (``min_n``).
+
+    ``lax.top_k`` on TPU pays a full partial sort over all n columns; when
+    n is large it is cheaper to select the top-k of each size-``chunk``
+    slice and re-select over the n/chunk * k candidates (the global top-k
+    is a subset of the per-chunk top-k's, so this is exact). Tie-order
+    matches ``lax.top_k`` (lowest index wins): candidates are laid out
+    chunk-major and rank-minor, which is index order among equal values.
+
+    Same contract as ``lax.top_k``: returns (values, indices) [B, k].
+    """
+    b, n = scores.shape
+    if n < min_n or n <= max(2 * k, chunk):     # no reduction to exploit
+        return jax.lax.top_k(scores, k)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    if pad:
+        scores = jnp.pad(scores, ((0, 0), (0, pad)),
+                         constant_values=-jnp.inf)
+    kc = min(k, chunk)
+    vals, idx = jax.lax.top_k(scores.reshape(b, n_chunks, chunk), kc)
+    gidx = idx + (jnp.arange(n_chunks, dtype=idx.dtype) * chunk)[None, :, None]
+    mvals, mpos = jax.lax.top_k(vals.reshape(b, n_chunks * kc), k)
+    midx = jnp.take_along_axis(gidx.reshape(b, n_chunks * kc), mpos, axis=1)
+    # padded columns can only be selected from all--inf tails; their ids
+    # would be out of range — clamp like the sharded path does.
+    return mvals, jnp.minimum(midx, n - 1) if pad else midx
+
+
 def topk_local_merge(scores: jnp.ndarray, k: int, axis_name: str
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Inside shard_map: local top-k -> all-gather [shards, B, k] -> merge.
@@ -25,7 +66,7 @@ def topk_local_merge(scores: jnp.ndarray, k: int, axis_name: str
     """
     n_local = scores.shape[1]
     shard_idx = jax.lax.axis_index(axis_name)
-    vals, idx = jax.lax.top_k(scores, k)
+    vals, idx = chunked_topk(scores, k)
     gidx = idx + shard_idx * n_local
     all_vals = jax.lax.all_gather(vals, axis_name, axis=1)   # [B, S, k]
     all_idx = jax.lax.all_gather(gidx, axis_name, axis=1)

@@ -249,7 +249,10 @@ class Trainer:
             # padded columns can only win for all--inf rows; keep ids in-range
             idx = jnp.minimum(idx[:b], n - 1)
         else:
-            _, idx = jax.lax.top_k(scores, top_k)
+            # exact select; chunked two-stage above the measured catalog-size
+            # crossover, one lax.top_k below it (benchmarks/profile_topk.py)
+            from gdmcf_tpu.ops.topk import chunked_topk
+            _, idx = chunked_topk(scores, top_k)
         return idx
 
     def _eval_multi_impl(self, params, xs, idxs, masks, keys,
