@@ -58,17 +58,31 @@ def main():
           f"({time.time()-t0:.0f}s to build)", flush=True)
 
     t0 = time.time()
+    epoch_done = [t0]
+
+    def log(s):
+        epoch_done.append(time.time())
+        print(f"{s}  (epoch wall {epoch_done[-1]-epoch_done[-2]:.1f}s)",
+              flush=True)
+
     result = pretrain(m, m, n_layers=args.n_layers,
                       latent_dim=args.latent_dim, epochs=args.epochs,
                       batch_size=args.batch, seed=0,
                       sparse="hybrid" if args.format == "hybrid" else True,
                       block_size=args.bc, block_rows=args.br,
-                      evaluate=False, log=lambda s: print(s, flush=True))
+                      evaluate=False, log=log)
     dt = time.time() - t0
-    steps = max(args.users // args.batch, 1) * args.epochs
+    steps_per_epoch = max(args.users // args.batch, 1)
+    steps = steps_per_epoch * args.epochs
     print(f"pretrain: {steps} BPR steps in {dt:.1f}s "
           f"({dt/steps:.2f}s/step incl. compile); "
           f"final embeddings {result.final_user.shape}/{result.final_item.shape}")
+    if args.epochs >= 2:
+        # epoch 0 pays the compile; later epochs are the steady state
+        steady = (epoch_done[-1] - epoch_done[1]) / ((args.epochs - 1)
+                                                     * steps_per_epoch)
+        print(f"steady-state: {steady*1e3:.0f} ms/BPR step "
+              f"(epochs 1..{args.epochs-1})", flush=True)
     assert np.isfinite(result.final_user).all()
     assert np.isfinite(result.final_item).all()
     print("OK", flush=True)

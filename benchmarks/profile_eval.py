@@ -7,6 +7,14 @@ Times, at Yelp geometry (batch 1024 x 2810 items, dims [1000], 5 steps):
   4. RNG-only kernel (the per-step bernoulli traffic)
   5. 1-3 again under --rng rbg (faster TPU PRNG)
 
+Uses the scan-amortized protocol (benchmarks/_timing.py): on this relayed
+backend ``block_until_ready`` does not synchronize, repeated identical
+async calls can be elided, and even per-dispatch value-fetch timing
+under-reports via dispatch/fetch overlap — the original async version of
+this script reported top_k(100) at 2.3 ms and the per-dispatch fetch
+version at 0.36 ms; the scan-amortized figure (cross-checked against the
+train-step protocol) is ~1.8 ms.
+
 Run:  python benchmarks/profile_eval.py [--rng rbg]
 """
 
@@ -15,21 +23,11 @@ from __future__ import annotations
 import argparse
 import sys
 sys.path.insert(0, "/root/repo")  # runnable without PYTHONPATH
-import time
+sys.path.insert(0, "/root/repo/benchmarks")
 
 import numpy as np
 
-
-def timeit(fn, *args, iters=20, warmup=3):
-    import jax
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1000.0
+from _timing import scan_timeit as timeit
 
 
 def main():
@@ -60,30 +58,33 @@ def main():
     t = jnp.zeros((b,), jnp.int32)
     key = jax.random.PRNGKey(0)
 
-    fwd = jax.jit(lambda p, x, t, xu, i: trainer.model.apply(
-        p, x, t, xu, index=i, graph=xu, rcloss=False, train=False, rng=None)[0])
+    fwd = jax.jit(lambda p, x, t, xu, i, s: trainer.model.apply(
+        p, x + s * 1e-12, t, xu, index=i, graph=xu, rcloss=False,
+        train=False, rng=None)[0])
     ms_fwd = timeit(fwd, state.params, x, t, x_U, idx)
-    print(f"[{args.rng}] 1 model forward:      {ms_fwd:8.2f} ms")
+    print(f"[{args.rng}] 1 model forward:      {ms_fwd:8.2f} ms", flush=True)
 
-    psample = jax.jit(lambda p, x, i, k: trainer.diffusion.p_sample(
-        trainer.model.apply, p, x, i, k, sampling_steps=0))
-    ms_ps = timeit(psample, state.params, x, idx, key)
-    print(f"[{args.rng}] p_sample (5 steps):   {ms_ps:8.2f} ms")
+    psample = jax.jit(lambda p, x, i, s: trainer.diffusion.p_sample(
+        trainer.model.apply, p, x, i, jax.random.fold_in(key, s),
+        sampling_steps=0))
+    ms_ps = timeit(psample, state.params, x, idx)
+    print(f"[{args.rng}] p_sample (5 steps):   {ms_ps:8.2f} ms", flush=True)
 
-    ms_eval = timeit(lambda: trainer._eval_step(
-        state.params, x, idx, x, key, sampling_steps=0, top_k=100))
-    print(f"[{args.rng}] full eval step:       {ms_eval:8.2f} ms")
+    eval_fn = jax.jit(lambda p, x, i, m, s: trainer._eval_step_impl(
+        p, x, i, m, jax.random.fold_in(key, s), sampling_steps=0, top_k=100))
+    ms_eval = timeit(eval_fn, state.params, x, idx, x)
+    print(f"[{args.rng}] full eval step:       {ms_eval:8.2f} ms", flush=True)
 
-    rng_kernel = jax.jit(lambda k: [
+    rng_kernel = jax.jit(lambda s: [
         jax.random.bernoulli(kk, 0.5, (b, n_item))
-        for kk in jax.random.split(k, 5)])
-    ms_rng = timeit(rng_kernel, key)
-    print(f"[{args.rng}] 5x bernoulli [B,n]:   {ms_rng:8.2f} ms")
+        for kk in jax.random.split(jax.random.fold_in(key, s), 5)])
+    ms_rng = timeit(rng_kernel)
+    print(f"[{args.rng}] 5x bernoulli [B,n]:   {ms_rng:8.2f} ms", flush=True)
 
-    topk = jax.jit(lambda s: jax.lax.top_k(s, 100))
+    topk = jax.jit(lambda sc, s: jax.lax.top_k(sc + s * 1e-12, 100))
     scores = jnp.asarray(rng.standard_normal((b, n_item)).astype(np.float32))
     ms_topk = timeit(topk, scores)
-    print(f"[{args.rng}] top_k(100):           {ms_topk:8.2f} ms")
+    print(f"[{args.rng}] top_k(100):           {ms_topk:8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

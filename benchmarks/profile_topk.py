@@ -1,8 +1,10 @@
 """A/B the eval ranking select: one ``lax.top_k`` vs the exact chunked
 select (``ops/topk.chunked_topk``) on the TPU.
 
-Uses the verified-fetch protocol (fresh input per call, scalar value fetch
-per call, measured fetch RTT subtracted) — async timing lies on this relay.
+Uses the scan-amortized protocol (benchmarks/_timing.py) — both plain
+per-dispatch async timing AND per-dispatch value-fetch timing are
+untrustworthy on this relay (the latter can report figures below the
+measured ~2.5 ms per-execute floor via dispatch/fetch overlap).
 
 Run:  python benchmarks/profile_topk.py [--batch 1024] [--n 2810] [--k 100]
 """
@@ -12,7 +14,7 @@ from __future__ import annotations
 import argparse
 import sys
 sys.path.insert(0, "/root/repo")  # runnable without PYTHONPATH
-import time
+sys.path.insert(0, "/root/repo/benchmarks")
 
 import numpy as np
 
@@ -28,6 +30,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from _timing import scan_timeit
     from gdmcf_tpu.ops.topk import chunked_topk
 
     rng = np.random.default_rng(0)
@@ -35,20 +38,8 @@ def main():
         rng.standard_normal((args.batch, args.n)).astype(np.float32))
 
     def bench(name, fn):
-        jfn = jax.jit(fn)
-        out = jfn(scores, 0.0)
-        base = int(out[1][0, 0])  # warm compile + materialize
-        t0 = time.perf_counter()
-        for _ in range(5):
-            int(out[1][0, 0])
-        rtt = (time.perf_counter() - t0) / 5
-        t0 = time.perf_counter()
-        for i in range(args.iters):
-            out = jfn(scores, float(i) * 1e-6)  # fresh input (defeat elision)
-            base = int(out[1][0, 0])            # force execution
-        wall = time.perf_counter() - t0
-        ms = (wall / args.iters - rtt) * 1000.0
-        print(f"{name:24s} {ms:7.3f} ms  (idx00={base})", flush=True)
+        ms = scan_timeit(fn, scores, k=min(args.iters, 50))
+        print(f"{name:24s} {ms:7.3f} ms", flush=True)
         return ms
 
     bench("lax.top_k",

@@ -17,24 +17,25 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-# Measured crossover on a v5e (benchmarks/profile_topk.py, verified-fetch
-# protocol): at [1024, 2810] k=100 one lax.top_k wins (0.36 ms vs 0.69+);
-# at [256, 131072] chunk=512 wins ~13% (9.95 vs 11.5 ms). Chunking only
-# pays once the catalog is large enough that the candidate set (n/chunk*k)
-# is a real reduction.
-_CHUNK_MIN_N = 65536
+# Measured on a v5e (benchmarks/profile_topk.py, scan-amortized protocol —
+# the only timing protocol that survives cross-checks on this relay):
+# [1024, 2810] k=100: lax.top_k 1.89 ms, chunked 1.30-1.36 (~31% win);
+# [256, 131072] k=100: lax.top_k 10.93, chunked(512) 10.38 (~5% win).
+# Chunked wins whenever the structural condition (n > max(2k, chunk))
+# leaves a real candidate reduction, so it is on by default; min_n is kept
+# as an escape hatch.
+_CHUNK_MIN_N = 0
 
 
 def chunked_topk(scores: jnp.ndarray, k: int, chunk: int = 512,
                  min_n: int = _CHUNK_MIN_N
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact top-k: per-chunk select + candidate merge for large catalogs,
-    one ``lax.top_k`` below the measured crossover (``min_n``).
+    """Exact top-k: per-chunk select + candidate merge.
 
-    ``lax.top_k`` on TPU pays a full partial sort over all n columns; when
-    n is large it is cheaper to select the top-k of each size-``chunk``
-    slice and re-select over the n/chunk * k candidates (the global top-k
-    is a subset of the per-chunk top-k's, so this is exact). Tie-order
+    ``lax.top_k`` on TPU pays a full partial sort over all n columns; it
+    is cheaper to select the top-k of each size-``chunk`` slice and
+    re-select over the n/chunk * k candidates (the global top-k is a
+    subset of the per-chunk top-k's, so this is exact). Tie-order
     matches ``lax.top_k`` (lowest index wins): candidates are laid out
     chunk-major and rank-minor, which is index order among equal values.
 

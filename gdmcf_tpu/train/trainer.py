@@ -249,8 +249,8 @@ class Trainer:
             # padded columns can only win for all--inf rows; keep ids in-range
             idx = jnp.minimum(idx[:b], n - 1)
         else:
-            # exact select; chunked two-stage above the measured catalog-size
-            # crossover, one lax.top_k below it (benchmarks/profile_topk.py)
+            # exact chunked two-stage select — ~30% over one lax.top_k at
+            # eval geometry (benchmarks/profile_topk.py)
             from gdmcf_tpu.ops.topk import chunked_topk
             _, idx = chunked_topk(scores, top_k)
         return idx
