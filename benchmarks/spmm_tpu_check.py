@@ -9,7 +9,6 @@ Run:  PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/spmm_tpu_check.py
 
 from __future__ import annotations
 
-import time
 import sys
 sys.path.insert(0, "/root/repo")  # runnable without PYTHONPATH
 
@@ -86,22 +85,24 @@ def main():
           f"tile fill={fill:.3f}", flush=True)
     x = jnp.asarray(rng.randn(n_items, 128).astype(np.float32))
 
-    kern = jit_spmm(a, x_vmem=False)
-    kern_vx = jit_spmm(a, x_vmem=True)
-    ref = jit_spmm(a, fn=spmm_reference)
+    sys.path.insert(0, "/root/repo/benchmarks")
+    from _timing import scan_timeit
+
     expect = m @ np.asarray(x)
-    for name, fn in (("pallas-stream", kern), ("pallas-vmem-x", kern_vx),
-                     ("gather-ref", ref)):
-        got = np.asarray(fn(x))[: m.shape[0]]
+    meta = block_sparse_meta(a)
+    arrays = block_sparse_arrays(a)
+    for name, fn, kw in (("pallas-stream", spmm, {"x_vmem": False}),
+                         ("pallas-vmem-x", spmm, {"x_vmem": True}),
+                         ("gather-ref", spmm_reference, {})):
+        got = np.asarray(jit_spmm(a, fn=fn, **kw)(x))[: m.shape[0]]
         rel = np.abs(got - expect).max() / max(np.abs(expect).max(), 1e-6)
         assert rel < 5e-3, f"{name} wrong: rel err {rel:.2e}"
-        out = fn(x)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(10):
-            out = fn(x)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / 10
+        # scan-amortized timing (see benchmarks/_timing.py: per-dispatch
+        # protocols are untrustworthy on this relay)
+        dt = scan_timeit(
+            lambda ar, xx, s, fn=fn, kw=kw: fn(_rebuild(meta, ar),
+                                               xx + s * 1e-12, **kw),
+            arrays, x, k=15, calls=5) / 1e3
         gflops = 2 * m.nnz * x.shape[1] / dt / 1e9
         print(f"{name}: {dt * 1e3:.2f} ms  ({gflops:.1f} sparse-GFLOP/s)",
               flush=True)
