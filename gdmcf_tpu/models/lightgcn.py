@@ -286,6 +286,21 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
     opt_state = tx.init(e0)
     rng = np.random.default_rng(seed)
     steps_per_epoch = max(n_user // batch_size, 1)
+    # (user, pos, neg) sampling rides the C++ engine (numpy fallback inside
+    # NativeCSR.sample_bpr): the pure-numpy rejection loop costs ~0.9 s per
+    # 65k-triple batch at the 1M-user geometry — more than half the whole
+    # BPR step
+    from gdmcf_tpu.data.native import NativeCSR
+    ncsr = NativeCSR.from_scipy(train_csr)
+
+    def sample(batch_size):
+        if n_user < batch_size:
+            users = rng.integers(0, n_user, batch_size)
+        else:
+            users = rng.choice(n_user, batch_size, replace=False)
+        users.sort()
+        pos, neg = ncsr.sample_bpr(users, int(rng.integers(2 ** 62)))
+        return users, pos, neg
 
     @jax.jit
     def train_step(e0, opt_state, prop_args, users, pos, neg):
@@ -312,7 +327,7 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
     for epoch in range(epochs):
         total = 0.0
         for _ in range(steps_per_epoch):
-            users, pos, neg = sample_bpr_batch(rng, train_csr, batch_size)
+            users, pos, neg = sample(batch_size)
             e0, opt_state, loss = train_step(e0, opt_state, prop_args,
                                              jnp.asarray(users),
                                              jnp.asarray(pos),

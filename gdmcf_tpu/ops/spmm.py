@@ -63,7 +63,8 @@ class BlockSparse(NamedTuple):
     row_ptr: jnp.ndarray     # [n_row_tiles + 1] int32
     col_ptr: jnp.ndarray     # [n_col_tiles + 1] int32
     block_ids: jnp.ndarray   # chunked [n_blocks] int32 (CSC -> CSR index)
-    block_rows: jnp.ndarray  # chunked [n_blocks] int32
+    block_rows: jnp.ndarray  # chunked [n_blocks] int32 (CSC order)
+    block_rows_csr: jnp.ndarray  # chunked [n_blocks] int32 (CSR order)
     shape: Tuple[int, int]   # padded (n_rows, n_cols)
     br: int
     bc: int
@@ -90,7 +91,7 @@ def block_sparse_arrays(a: BlockSparse):
     ``_rebuild`` inside — closing over them embeds the whole sparse matrix
     as a program constant (oversized remote-compile payloads)."""
     return (a.blocks, a.block_cols, a.row_ptr, a.col_ptr, a.block_ids,
-            a.block_rows)
+            a.block_rows, a.block_rows_csr)
 
 
 def _rebuild(meta: _Meta, arrays) -> BlockSparse:
@@ -175,6 +176,7 @@ def to_block_sparse(mat: sp.spmatrix, br: int = 128, bc: int = 128,
         return out.reshape(-1, 8, _META_CHUNK // 8)
 
     if n_blocks == 0:
+        u_rb = np.zeros(1, np.int32)
         u_cb = np.zeros(1, np.int32)
         csc_order = np.zeros(1, np.int32)
         csc_rows = np.zeros(1, np.int32)
@@ -192,6 +194,7 @@ def to_block_sparse(mat: sp.spmatrix, br: int = 128, bc: int = 128,
         col_ptr=jnp.asarray(col_ptr),
         block_ids=jnp.asarray(chunked(csc_order)),
         block_rows=jnp.asarray(chunked(csc_rows)),
+        block_rows_csr=jnp.asarray(chunked(u_rb)),
         shape=(n_rows, n_cols),
         br=br, bc=bc,
         max_row_width=max(mrw, 1), max_col_width=max(mcw, 1),
@@ -234,8 +237,10 @@ _X_VMEM_BUDGET = 6 << 20  # keep whole x in VMEM when it fits this many bytes
 
 def _spmm_kernel(ptr_ref, tile_meta_hbm, aux_meta_hbm, blocks_hbm, x_hbm,
                  y_ref, meta_buf, aux_buf, a_buf, x_buf, acc_ref, meta_sems,
-                 sems, *, x_rows: int, transpose: bool):
-    """One grid step per output tile (row-tile forward, col-tile transpose).
+                 sems, *, x_rows: int, transpose: bool, rowg: int):
+    """One grid step per output tile group (``rowg`` row-tiles forward —
+    128 output rows per step regardless of br, so thin-tile graphs don't
+    pay the per-grid-step fixed cost 16x; one col-tile transpose).
 
     ptr (SMEM, scalar-prefetched) gives this step's [start, stop) range into
     the tile-metadata arrays, which are streamed HBM->SMEM in fixed
@@ -243,17 +248,20 @@ def _spmm_kernel(ptr_ref, tile_meta_hbm, aux_meta_hbm, blocks_hbm, x_hbm,
     at ~250k tiles, and a hot column tile can span EVERY row tile — 125k
     entries at the 1M x 200k geometry — so even per-step whole-width chunks
     don't fit):
-      forward:   tile_meta = block_cols (x tile index); aux = identity ids
+      forward:   tile_meta = block_cols (x tile index);
+                 aux = block_rows_csr (output row-tile id, routes each tile
+                 to its br-row slot of the group accumulator)
       transpose: tile_meta = block_rows (x tile index); aux = block_ids
     Within a chunk, tile/x DMAs are double-buffered and accumulate on the
     MXU; the pipeline restarts at each chunk boundary (one ~2 KB DMA bubble
     per 512 tiles).
     """
     i = pl.program_id(0)
-    start = ptr_ref[i]
-    stop = ptr_ref[i + 1]
+    start = ptr_ref[i * rowg]
+    stop = ptr_ref[(i + 1) * rowg]
     acc_ref[:] = jnp.zeros_like(acc_ref)
     sub = _META_CHUNK // 8
+    need_aux = transpose or rowg > 1
 
     def chunk_body(c, _):
         # chunks are ABSOLUTE-aligned (metadata stored [n_chunks, 8, C/8]):
@@ -261,12 +269,12 @@ def _spmm_kernel(ptr_ref, tile_meta_hbm, aux_meta_hbm, blocks_hbm, x_hbm,
         meta_dma = pltpu.make_async_copy(tile_meta_hbm.at[c], meta_buf,
                                          meta_sems.at[0])
         meta_dma.start()
-        if transpose:  # forward never reads the CSC ids — skip the dead DMA
+        if need_aux:  # rowg==1 forward never reads aux — skip the dead DMA
             aux_dma = pltpu.make_async_copy(aux_meta_hbm.at[c], aux_buf,
                                             meta_sems.at[1])
             aux_dma.start()
         meta_dma.wait()
-        if transpose:
+        if need_aux:
             aux_dma.wait()
         lo = jnp.maximum(start, c * _META_CHUNK)
         hi = jnp.minimum(stop, (c + 1) * _META_CHUNK)
@@ -317,6 +325,14 @@ def _spmm_kernel(ptr_ref, tile_meta_hbm, aux_meta_hbm, blocks_hbm, x_hbm,
                         a_buf[slot], x_buf[slot],
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
+                elif rowg > 1:
+                    # route to this tile's br-row slot of the group acc
+                    br = a_buf.shape[1]
+                    off = (meta_at(aux_buf, k) % rowg) * br
+                    acc_ref[pl.ds(off, br), :] = (
+                        acc_ref[pl.ds(off, br), :]
+                        + jnp.dot(a_buf[slot], x_buf[slot],
+                                  preferred_element_type=jnp.float32))
                 else:
                     acc_ref[:] += jnp.dot(a_buf[slot], x_buf[slot],
                                           preferred_element_type=jnp.float32)
@@ -549,6 +565,10 @@ def spmm(a: BlockSparse, x: jnp.ndarray, transpose: bool = False,
         x_rows, out_rows, out_tile = bc, a.shape[0], br
         n_x = a.shape[1]
     d_in = x.shape[1]
+    if x.shape[0] > n_x:
+        # cotangents from the opposite-direction product carry that
+        # product's pad output rows — structurally zero, drop them
+        x = x[:n_x]
     # Mosaic: lane (last) dim of DMA slices must be 128-aligned
     d = -(-d_in // 128) * 128
     x_pad = jnp.zeros((n_x, d), x.dtype).at[: x.shape[0], : d_in].set(x)
@@ -560,12 +580,28 @@ def spmm(a: BlockSparse, x: jnp.ndarray, transpose: bool = False,
                           out_rows, out_tile, d, transpose, interpret)
         return y[:, :d_in] if d != d_in else y
 
+    rowg = 1
+    if not transpose:
+        # group row-tiles so each grid step emits 128 output rows: thin-tile
+        # (br=8) graphs otherwise pay the per-grid-step fixed cost 16x
+        # (measured 119 -> ~55 ms per product at the 1M x 200k geometry)
+        rowg = max(1, 128 // br)
+        aux = a.block_rows_csr
+        grid = -(-grid // rowg)
+        out_tile = rowg * br
+        out_rows = grid * out_tile
+        # empty ranges for the pad row-tiles: repeat the last ptr entry
+        pad_len = grid * rowg + 1 - ptr.shape[0]
+        if pad_len > 0:
+            ptr = jnp.concatenate(
+                [ptr, jnp.broadcast_to(ptr[-1], (pad_len,))])
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,          # ptr only — tile metadata is DMA'd
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # tile_meta stays in HBM
-            pl.BlockSpec(memory_space=pl.ANY),   # aux (csc ids) stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # aux stays in HBM
             pl.BlockSpec(memory_space=pl.ANY),   # blocks stay in HBM
             pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
         ],
@@ -583,7 +619,7 @@ def spmm(a: BlockSparse, x: jnp.ndarray, transpose: bool = False,
     )
     y = pl.pallas_call(
         functools.partial(_spmm_kernel, x_rows=x_rows,
-                          transpose=transpose),
+                          transpose=transpose, rowg=rowg),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((out_rows, d), jnp.float32),
         interpret=interpret,
@@ -685,4 +721,15 @@ def hybrid_spmm(meta: _Meta, arrays, x: jnp.ndarray, transpose: bool = False,
         rr, rc = rc, rr
     y = spmm_op(meta, transpose, interpret, ta, x)
     contrib = rv[:, None] * x[rc, :]
-    return y.at[rr].add(contrib)
+    # Scatter at the native 128-lane width into a fresh zeros buffer, then
+    # add elementwise: a row-scatter whose minor dim is a fraction of a
+    # lane register lowers catastrophically on TPU (measured 75 ms vs
+    # 9.7 ms at width 64 vs 128 for the same 365k-update scatter at the
+    # 1M x 200k geometry), and scattering directly into the kernel output
+    # serializes behind the custom call.
+    d_in = x.shape[1]
+    d_pad = -(-d_in // 128) * 128
+    if d_pad != d_in:
+        contrib = jnp.pad(contrib, ((0, 0), (0, d_pad - d_in)))
+    z = jnp.zeros((y.shape[0], d_pad), y.dtype).at[rr].add(contrib)
+    return y + z[:, :d_in]
