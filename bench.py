@@ -14,7 +14,9 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +24,8 @@ import numpy as np
 
 from gdmcf_tpu.config import Config
 from gdmcf_tpu.train.trainer import Trainer
+
+sys.path.insert(0, str(Path(__file__).resolve().parent / "benchmarks"))
 
 # benchmarks/torch_cpu_baseline.py on this 4-vCPU host (see that file's
 # docstring for why this stands in for the reference's own number).
@@ -61,12 +65,12 @@ def measure(batch=1024, iters=200, warmup=5, seed=0, rng_impl="rbg",
         state, losses = trainer._train_multi(state, xs, iis)
     assert np.isfinite(float(losses.sum())), "training diverged during warmup"
 
-    # estimate the value-fetch round-trip on an already-materialized scalar
-    s = losses.sum()
-    t0 = time.perf_counter()
-    for _ in range(5):
-        float(s)
-    rtt = (time.perf_counter() - t0) / 5
+    # per-dispatch floor (dispatch + trivial execute + value fetch), measured
+    # with FRESH dispatches: jax caches _npy_value after the first fetch, so
+    # timing repeated float() on one materialized scalar measures ~0 (a bug
+    # this bench shipped with — it under-reported throughput ~15%)
+    from _timing import dispatch_floor
+    floor = dispatch_floor()
 
     n_calls = max(iters // k, 1)
     t0 = time.perf_counter()
@@ -75,7 +79,7 @@ def measure(batch=1024, iters=200, warmup=5, seed=0, rng_impl="rbg",
         lv = float(losses.sum())  # forces execution
     wall = time.perf_counter() - t0
     assert np.isfinite(lv), "training diverged during measurement"
-    compute = max(wall - n_calls * rtt, 1e-9)
+    compute = max(wall - n_calls * floor, 1e-9)
     return batch * n_calls * k / compute
 
 
@@ -90,9 +94,6 @@ def measure_infer(batch=1024, iters=20, warmup=3, seed=0, top_k=100):
       carries to real hardware; see benchmarks/_timing.py for why
       per-dispatch protocols cannot measure it).
     """
-    import sys
-    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent
-                           / "benchmarks"))
     from _timing import scan_timeit
 
     cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[1000], emb_size=10,
@@ -151,8 +152,7 @@ def main():
     args = ap.parse_args()
 
     if args.metric == "infer":
-        p50, onchip = measure_infer(batch=args.batch,
-                                    iters=min(args.iters, 30))
+        p50, onchip = measure_infer(batch=args.batch, iters=args.iters)
         print(json.dumps({
             "metric": "infer_onchip_batch_latency",
             "value": round(onchip, 2),

@@ -58,6 +58,10 @@ def main():
         rng.standard_normal((args.items, args.dim)).astype(np.float32))
     x_users = jnp.asarray(
         rng.standard_normal((args.users, args.dim)).astype(np.float32))
+    # forward kernel output rows: row tiles grouped 128//br per grid step
+    br = 8
+    n_row_tiles = -(-args.users // br)
+    y_rows = -(-n_row_tiles // (128 // br)) * 128
 
     def coo_only(rr, rc, rv, x, n_out, s):
         contrib = rv[:, None] * x[rc, :]
@@ -85,29 +89,29 @@ def main():
             (ta, x_items)),
         ("tiles+scatter-nogather", lambda ta, rr, rv, x, s:
             spmm_op(meta, False, False, ta, x + s * 1e-12)
-            + jnp.zeros((1000064, x.shape[1]), jnp.float32)
+            + jnp.zeros((y_rows, x.shape[1]), jnp.float32)
               .at[rr].add(rv[:, None]), (ta, rr, rv, x_items)),
         ("tiles+gather-noscatter", lambda ta, rc, rv, x, s:
             spmm_op(meta, False, False, ta, x + s * 1e-12)
             + (rv[:, None] * x[rc, :]).sum(), (ta, rc, rv, x_items)),
         ("tiles+scatter-sorted", lambda ta, rr, rc, rv, x, s:
             spmm_op(meta, False, False, ta, x + s * 1e-12)
-            + jnp.zeros((1000064, x.shape[1]), jnp.float32)
+            + jnp.zeros((y_rows, x.shape[1]), jnp.float32)
               .at[rr].add(rv[:, None] * x[rc, :], indices_are_sorted=True),
             (ta, rr, rc, rv, x_items)),
         ("tiles+segsum-sorted", lambda ta, rr, rc, rv, x, s:
             spmm_op(meta, False, False, ta, x + s * 1e-12)
             + jax.ops.segment_sum(rv[:, None] * x[rc, :], rr,
-                                  num_segments=1000064,
+                                  num_segments=y_rows,
                                   indices_are_sorted=True),
             (ta, rr, rc, rv, x_items)),
         ("scatter-sorted only", lambda rr, rc, rv, x, s:
-            jnp.zeros((1000064, x.shape[1]), jnp.float32)
+            jnp.zeros((y_rows, x.shape[1]), jnp.float32)
               .at[rr].add(rv[:, None] * (x[rc, :] + s * 1e-12),
                           indices_are_sorted=True),
             (rr, rc, rv, x_items)),
         ("scatter only w128", lambda rr, rc, rv, x, s:
-            jnp.zeros((1000064, 128), jnp.float32)
+            jnp.zeros((y_rows, 128), jnp.float32)
               .at[rr].add(jnp.pad(rv[:, None] * (x[rc, :] + s * 1e-12),
                                   ((0, 0), (0, 128 - x.shape[1]))),
                           indices_are_sorted=True),

@@ -38,7 +38,11 @@ def main():
         rng.standard_normal((args.batch, args.n)).astype(np.float32))
 
     def bench(name, fn):
-        ms = scan_timeit(fn, scores, k=min(args.iters, 50))
+        # time the INDICES-ONLY output: the eval path discards the values
+        # (`_, idx = ...`), so XLA DCEs the value side in production and the
+        # A/B must let it do the same here
+        ms = scan_timeit(lambda s, c: fn(s, c)[1], scores,
+                         k=min(args.iters, 50))
         print(f"{name:24s} {ms:7.3f} ms", flush=True)
         return ms
 

@@ -176,15 +176,27 @@ def bpr_loss(users_emb, pos_emb, neg_emb, user0, pos0, neg0,
     return loss, reg
 
 
-def sample_bpr_batch(rng: np.random.Generator, train_csr: sp.spmatrix,
-                     batch_size: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Host-side (user, pos, neg) triples; rejection-sampled negatives."""
-    n_user, n_item = train_csr.shape
+def _choose_users(rng: np.random.Generator, n_user: int,
+                  batch_size: int) -> np.ndarray:
+    """Sorted user sample (with replacement only when the population is
+    smaller than the batch) — shared by both BPR samplers."""
     if n_user < batch_size:
         users = rng.integers(0, n_user, batch_size)
     else:
         users = rng.choice(n_user, batch_size, replace=False)
     users.sort()
+    return users
+
+
+def sample_bpr_batch(rng: np.random.Generator, train_csr: sp.spmatrix,
+                     batch_size: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side (user, pos, neg) triples; rejection-sampled negatives.
+
+    Pure-numpy reference implementation; the production pretrain loop uses
+    the C++ engine via NativeCSR.sample_bpr (same semantics, ~1700x faster
+    at 1M users — see pretrain())."""
+    n_user, n_item = train_csr.shape
+    users = _choose_users(rng, n_user, batch_size)
     indptr, indices = train_csr.indptr, train_csr.indices
     pos = np.empty(batch_size, dtype=np.int64)
     neg = np.empty(batch_size, dtype=np.int64)
@@ -294,11 +306,7 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
     ncsr = NativeCSR.from_scipy(train_csr)
 
     def sample(batch_size):
-        if n_user < batch_size:
-            users = rng.integers(0, n_user, batch_size)
-        else:
-            users = rng.choice(n_user, batch_size, replace=False)
-        users.sort()
+        users = _choose_users(rng, n_user, batch_size)
         pos, neg = ncsr.sample_bpr(users, int(rng.integers(2 ** 62)))
         return users, pos, neg
 

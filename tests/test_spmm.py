@@ -70,9 +70,6 @@ def test_spmm_empty_row_tile(rng):
         np.testing.assert_allclose(y[128:256], 0.0)
         np.testing.assert_allclose(y[:300], m.toarray() @ x,
                                    rtol=1e-4, atol=1e-4)
-    y = np.asarray(spmm(a, jnp.asarray(x), interpret=True))
-    np.testing.assert_allclose(y[128:256], 0.0)
-    np.testing.assert_allclose(y[:300], m.toarray() @ x, rtol=1e-4, atol=1e-4)
 
 
 def test_block_format_guard_rejects_unstructured(rng):
