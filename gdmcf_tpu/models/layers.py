@@ -124,6 +124,13 @@ def cosine_scores(user_vecs: jnp.ndarray, item_table: jnp.ndarray,
     return (user_vecs @ item_table.T) / denom
 
 
+# NT-Xent inner form: "softmax" materializes the normalized [B, B] matrix
+# (the shape the reference computes); "lse" needs only the row logsumexp and
+# the diagonal. Same math — kept switchable for the on-chip A/B
+# (benchmarks/ab_ntxent.py); flip only on a measured win.
+_NT_XENT_IMPL = "softmax"
+
+
 def nt_xent_loss(z1: jnp.ndarray, z2: jnp.ndarray, temperature: float = 0.1,
                  eps: float = 1e-5) -> jnp.ndarray:
     """NT-Xent contrastive loss between tower latents (ref DNN.py:479-508).
@@ -131,11 +138,19 @@ def nt_xent_loss(z1: jnp.ndarray, z2: jnp.ndarray, temperature: float = 0.1,
     The reference's diagonal masking is commented out, so the softmax runs over
     the full row including the positive; loss = -log(diag / sum(off-diag)).
     """
-    n = z1.shape[0]
     sim = (z1 @ z2.T) / temperature
-    p = jax.nn.softmax(sim, axis=-1)
-    diag = jnp.diagonal(p)
-    neg_sum = p.sum(axis=1) - diag
+    if _NT_XENT_IMPL == "lse":
+        # Algebraically identical: softmax rows sum to 1, so the off-diagonal
+        # mass is 1 - diag; only the row logsumexp and the diagonal are
+        # needed, never the normalized [B, B] matrix. diag <= 1 because the
+        # row logsumexp includes the diagonal term.
+        lse = jax.nn.logsumexp(sim, axis=-1)
+        diag = jnp.exp(jnp.diagonal(sim) - lse)
+        neg_sum = 1.0 - diag
+    else:
+        p = jax.nn.softmax(sim, axis=-1)
+        diag = jnp.diagonal(p)
+        neg_sum = p.sum(axis=1) - diag
     # ALWAYS-ON REPAIR (documented divergence, applies even under
     # fidelity=True; see docs/PARITY.md "Always-on repairs"): epsilon also in
     # the denominator — the reference guards only the numerator (ref

@@ -106,6 +106,26 @@ def test_nt_xent_matches_definition(rng):
     assert abs(got - expected) < 1e-5
 
 
+def test_nt_xent_impls_agree(rng):
+    """The 'lse' inner form (logsumexp + diagonal only) must match the
+    'softmax' form in value and gradient — they are the same math."""
+    import gdmcf_tpu.models.layers as layers
+
+    z1 = jnp.asarray(rng.standard_normal((32, 20)), dtype=jnp.float32)
+    z2 = jnp.asarray(rng.standard_normal((32, 20)), dtype=jnp.float32)
+    saved = layers._NT_XENT_IMPL
+    try:
+        vals, grads = {}, {}
+        for impl in ("softmax", "lse"):
+            layers._NT_XENT_IMPL = impl
+            vals[impl] = float(nt_xent_loss(z1, z2))
+            grads[impl] = jax.grad(lambda z: nt_xent_loss(z, z2))(z1)
+    finally:
+        layers._NT_XENT_IMPL = saved
+    assert abs(vals["softmax"] - vals["lse"]) < 1e-6
+    assert float(jnp.abs(grads["softmax"] - grads["lse"]).max()) < 1e-6
+
+
 def test_noise_type_ablation_zeroes_closs():
     cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[16], emb_size=10,
                  noise_type=1)

@@ -34,7 +34,8 @@ def test_loss_decreases(tmp_path):
                                        n_item=40, avg_degree=12, seed=4)
     train, valid, test, n_user, n_item = data_load(*paths)
     cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[16], emb_size=10,
-                 steps=5, noise_scale=0.01, batch_size=32, lr=1e-2)
+                 steps=5, noise_scale=0.01, batch_size=32, lr=1e-2,
+                 sampling_steps=0)
     trainer = Trainer(cfg, n_user, n_item)
     state = trainer.init_state()
     rows = jnp.asarray(np.asarray(train.todense(), dtype=np.float32)[:32])
