@@ -147,6 +147,12 @@ class Config:
     # (each launch costs ~2.5 ms through the dev relay; also a real win on
     # hardware). The per-epoch remainder runs as single steps.
     train_steps_per_call: int = 1
+    # host->device wire format for training batches: "packed" ships binary
+    # rows bit-packed (uint8, 32x less PCIe/tunnel traffic and a 32x smaller
+    # [K, B, n_item] staging buffer for the k-fused step; unpacked inside the
+    # jitted program — ops/bitpack.py). Lossless for binary rows only; falls
+    # back to "f32" automatically when the dataset has count cells > 1.
+    wire_format: str = "packed"
     # fuse K eval batches into one compiled program (lax.scan): identical
     # results (same per-batch key order), K-fold fewer eval dispatches
     eval_batches_per_call: int = 1
@@ -172,6 +178,8 @@ class Config:
             raise ValueError("param_dtype must be float32 or bfloat16")
         if self.compute_dtype not in ("bfloat16", "float32"):
             raise ValueError("compute_dtype must be bfloat16 or float32")
+        if self.wire_format not in ("packed", "f32"):
+            raise ValueError("wire_format must be packed or f32")
         if self.opt_moment_dtype not in ("bfloat16", "float32"):
             raise ValueError("opt_moment_dtype must be bfloat16 or float32")
         if self.opt_impl not in ("auto", "inline", "fused", "optax"):

@@ -61,6 +61,10 @@ class DiffusionDataset:
         if n_rows is not None:
             mat = mat[:n_rows]
         self.rows = np.ascontiguousarray(mat)
+        # duplicate (uid, iid) pairs sum to count cells > 1 (the reference's
+        # CSR build does the same); only strictly binary rows may ride the
+        # bit-packed wire format (ops/bitpack.py)
+        self.binary = bool(mat.max(initial=0.0) <= 1.0)
 
     def __len__(self) -> int:
         return self.rows.shape[0]

@@ -60,6 +60,10 @@ class NativeCSR:
     scales to catalogs where ``DiffusionDataset``'s dense rows cannot.
     """
 
+    # gather() writes 0/1 only (no value array exists), so batches are
+    # always eligible for the bit-packed wire format (ops/bitpack.py)
+    binary = True
+
     def __init__(self, indptr: np.ndarray, indices: np.ndarray,
                  n_user: int, n_item: int):
         self.indptr = np.ascontiguousarray(indptr, dtype=np.int64)

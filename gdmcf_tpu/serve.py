@@ -75,6 +75,11 @@ class Recommender:
             padded = np.concatenate([chunk, np.zeros(pad, np.int32)])
             rows = self.history.gather(padded)
             mask = rows if exclude_history else np.zeros_like(rows)
+            if cfg.wire_format == "packed":
+                # NativeCSR rows are always binary: ship bits (32x less
+                # request payload; _eval_step unpacks in-program)
+                from gdmcf_tpu.ops.bitpack import pack_rows
+                rows, mask = pack_rows(rows), pack_rows(mask)
             self._key, sub = jax.random.split(self._key)
             idx = self.trainer._eval_step(
                 self.params, jnp.asarray(rows), jnp.asarray(padded),

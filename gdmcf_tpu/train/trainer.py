@@ -122,6 +122,14 @@ class Trainer:
     # ------------------------------------------------------------------
     def _train_step_impl(self, state: TrainState, x: jnp.ndarray,
                          index: jnp.ndarray):
+        if x.dtype == jnp.uint8:
+            # bit-packed wire format (ops/bitpack.py): unpack inside the
+            # compiled program so the [B, n_item] f32 tensor exists only as
+            # an XLA fusion input, never as a host->device transfer
+            from gdmcf_tpu.ops.bitpack import unpack_rows
+            x = unpack_rows(x, self.n_item)
+            if self.cfg.OneHotMatrix == 1:
+                x = self._to_block_onehot(x)
         key, step_key = jax.random.split(state.key)
 
         def loss_fn(params):
@@ -183,12 +191,21 @@ class Trainer:
         losses = []
         k = max(self.cfg.train_steps_per_call, 1)
         pending = []
+        pack = (self.cfg.wire_format == "packed"
+                and getattr(dataset, "binary", False))
+        if pack:
+            from gdmcf_tpu.ops.bitpack import pack_rows
         for x, idx in epoch_batches(dataset, self.cfg.batch_size, rng,
                                     shuffle=self.cfg.shuffle,
                                     drop_last=self.cfg.drop_last):
-            x = jnp.asarray(x)
-            if self.cfg.OneHotMatrix == 1:
-                x = self._to_block_onehot(x)
+            if pack:
+                # ship bits; _train_step_impl unpacks (and block-onehots)
+                # inside the compiled program
+                x = jnp.asarray(pack_rows(x))
+            else:
+                x = jnp.asarray(x)
+                if self.cfg.OneHotMatrix == 1:
+                    x = self._to_block_onehot(x)
             pending.append(self._put_batch(x, idx))
             if k > 1 and len(pending) == k:
                 xs = jnp.stack([p[0] for p in pending])
@@ -212,6 +229,14 @@ class Trainer:
     def _eval_step_impl(self, params, x, index, mask, key,
                         sampling_steps: int, top_k: int):
         """p_sample -> mask seen items -> device top-k (ref main.py:288-305)."""
+        if x.dtype == jnp.uint8:
+            # bit-packed request payload (ops/bitpack.py; used by serve.py —
+            # 32x less wire per recommend() chunk)
+            from gdmcf_tpu.ops.bitpack import unpack_rows
+            x = unpack_rows(x, self.n_item)
+        if mask.dtype == jnp.uint8:
+            from gdmcf_tpu.ops.bitpack import unpack_rows
+            mask = unpack_rows(mask, self.n_item)
         with jax.default_matmul_precision(self._matmul_precision()):
             return self._eval_step_body(params, x, index, mask, key,
                                         sampling_steps, top_k)
