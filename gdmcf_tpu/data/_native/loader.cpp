@@ -54,6 +54,26 @@ void assemble_batch(const int64_t* indptr, const int32_t* indices,
     }
 }
 
+// Gather CSR rows directly into the bit-packed wire format (uint8, little
+// bit order — element 8*j + i is bit i of byte j, matching
+// ops/bitpack.unpack_rows). Skips the dense f32 staging buffer entirely:
+// at the 1M-item scale geometry that buffer is ~1 GB/batch host-side.
+void assemble_batch_packed(const int64_t* indptr, const int32_t* indices,
+                           const int32_t* rows, int64_t n_rows,
+                           int64_t n_item, uint8_t* out) {
+    const int64_t n_bytes = (n_item + 7) / 8;
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n_rows; ++r) {
+        uint8_t* dst = out + r * n_bytes;
+        std::memset(dst, 0, n_bytes);
+        const int64_t u = rows[r];
+        for (int64_t k = indptr[u]; k < indptr[u + 1]; ++k) {
+            const int32_t it = indices[k];
+            dst[it >> 3] |= static_cast<uint8_t>(1u << (it & 7));
+        }
+    }
+}
+
 // splitmix64 — tiny deterministic PRNG for sampling.
 static inline uint64_t splitmix64(uint64_t& s) {
     uint64_t z = (s += 0x9e3779b97f4a7c15ULL);

@@ -76,6 +76,11 @@ class DiffusionDataset:
     def gather(self, idx: np.ndarray) -> np.ndarray:
         return self.rows[idx]
 
+    def gather_packed(self, idx: np.ndarray) -> np.ndarray:
+        """Bit-packed batch (ops/bitpack wire format); binary rows only."""
+        from gdmcf_tpu.ops.bitpack import pack_rows
+        return pack_rows(self.rows[idx])
+
 
 def epoch_batches(
     dataset: DiffusionDataset,
@@ -83,12 +88,16 @@ def epoch_batches(
     rng: Optional[np.random.Generator] = None,
     shuffle: bool = True,
     drop_last: bool = True,
+    packed: bool = False,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Yield (x [B, n_item] float32, index [B] int32) batches.
 
     shuffle/drop_last mirror the reference DataLoader settings
     (ref main.py:155-156). Indices are the dataset row positions — the user
-    ids the embedding table is keyed by.
+    ids the embedding table is keyed by. With ``packed`` (binary datasets
+    only), x is the bit-packed uint8 wire format instead — assembled
+    directly as bits when the dataset supports it (NativeCSR's C++ path
+    skips the dense f32 staging buffer entirely).
     """
     n = len(dataset)
     order = np.arange(n)
@@ -102,9 +111,17 @@ def epoch_batches(
         # drop_last would train/eval on nothing and then crash; serve the
         # single partial batch instead
         stop = n
+    if packed and not hasattr(dataset, "gather_packed"):
+        from gdmcf_tpu.ops.bitpack import pack_rows
     for start in range(0, stop, batch_size):
         idx = order[start:start + batch_size]
-        yield dataset.gather(idx), idx.astype(np.int32)
+        if packed:
+            x = (dataset.gather_packed(idx)
+                 if hasattr(dataset, "gather_packed")
+                 else pack_rows(dataset.gather(idx)))
+        else:
+            x = dataset.gather(idx)
+        yield x, idx.astype(np.int32)
 
 
 def generate_synthetic_dataset(

@@ -45,6 +45,10 @@ def _ensure_lib() -> Optional[ctypes.CDLL]:
         lib.sample_bpr.argtypes = [i64p, i32p, ctypes.c_int64, i32p,
                                    ctypes.c_int64, ctypes.c_uint64,
                                    i32p, i32p]
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.assemble_batch_packed.argtypes = [i64p, i32p, i32p,
+                                              ctypes.c_int64,
+                                              ctypes.c_int64, u8p]
         _lib = lib
         HAVE_NATIVE = True
     except Exception:
@@ -115,6 +119,25 @@ class NativeCSR:
             out.fill(0.0)
             for r, u in enumerate(rows):
                 out[r, self.indices[self.indptr[u]:self.indptr[u + 1]]] = 1.0
+        return out
+
+    def gather_packed(self, rows: np.ndarray) -> np.ndarray:
+        """Bit-packed uint8 [len(rows), ceil(n_item/8)] batch (little bit
+        order, ops/bitpack wire format) — never materializes the dense f32
+        staging buffer (~1 GB/batch at the 1M-item scale geometry)."""
+        rows = np.ascontiguousarray(rows, dtype=np.int32)
+        n_bytes = (self.n_item + 7) // 8
+        out = np.empty((len(rows), n_bytes), dtype=np.uint8)
+        lib = _ensure_lib()
+        if lib is not None:
+            lib.assemble_batch_packed(self.indptr, self.indices, rows,
+                                      len(rows), self.n_item, out)
+        else:
+            out.fill(0)
+            for r, u in enumerate(rows):
+                items = self.indices[self.indptr[u]:self.indptr[u + 1]]
+                np.bitwise_or.at(out[r], items >> 3,
+                                 np.uint8(1) << (items & 7).astype(np.uint8))
         return out
 
     def sample_bpr(self, users: np.ndarray,

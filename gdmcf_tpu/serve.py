@@ -73,13 +73,14 @@ class Recommender:
             chunk = user_ids[start:start + self.serve_batch]
             pad = self.serve_batch - len(chunk)
             padded = np.concatenate([chunk, np.zeros(pad, np.int32)])
-            rows = self.history.gather(padded)
-            mask = rows if exclude_history else np.zeros_like(rows)
             if cfg.wire_format == "packed":
-                # NativeCSR rows are always binary: ship bits (32x less
-                # request payload; _eval_step unpacks in-program)
-                from gdmcf_tpu.ops.bitpack import pack_rows
-                rows, mask = pack_rows(rows), pack_rows(mask)
+                # NativeCSR rows are always binary: assemble + ship bits
+                # (32x less request payload; _eval_step unpacks in-program)
+                rows = self.history.gather_packed(padded)
+                mask = rows if exclude_history else np.zeros_like(rows)
+            else:
+                rows = self.history.gather(padded)
+                mask = rows if exclude_history else np.zeros_like(rows)
             self._key, sub = jax.random.split(self._key)
             idx = self.trainer._eval_step(
                 self.params, jnp.asarray(rows), jnp.asarray(padded),

@@ -193,19 +193,15 @@ class Trainer:
         pending = []
         pack = (self.cfg.wire_format == "packed"
                 and getattr(dataset, "binary", False))
-        if pack:
-            from gdmcf_tpu.ops.bitpack import pack_rows
         for x, idx in epoch_batches(dataset, self.cfg.batch_size, rng,
                                     shuffle=self.cfg.shuffle,
-                                    drop_last=self.cfg.drop_last):
-            if pack:
-                # ship bits; _train_step_impl unpacks (and block-onehots)
-                # inside the compiled program
-                x = jnp.asarray(pack_rows(x))
-            else:
-                x = jnp.asarray(x)
-                if self.cfg.OneHotMatrix == 1:
-                    x = self._to_block_onehot(x)
+                                    drop_last=self.cfg.drop_last,
+                                    packed=pack):
+            # packed batches ship as bits; _train_step_impl unpacks (and
+            # block-onehots) inside the compiled program
+            x = jnp.asarray(x)
+            if self.cfg.OneHotMatrix == 1 and not pack:
+                x = self._to_block_onehot(x)
             pending.append(self._put_batch(x, idx))
             if k > 1 and len(pending) == k:
                 xs = jnp.stack([p[0] for p in pending])

@@ -76,6 +76,23 @@ def test_from_scipy_and_epoch_batches(rng):
         np.testing.assert_array_equal(x, dense[idx])
 
 
+@pytest.mark.parametrize("n_item", [30, 64, 131])
+def test_gather_packed_matches_pack_of_gather(rng, monkeypatch, n_item):
+    """C++ packed assembly == packbits(dense gather) == numpy fallback,
+    at n_item both multiple and non-multiple of 8."""
+    from gdmcf_tpu.ops.bitpack import pack_rows
+
+    n_user = 40
+    edges = random_edges(rng, n_user, n_item, 8 * n_item)
+    csr = NativeCSR.from_edge_list(edges, n_user, n_item)
+    rows = rng.permutation(n_user)[:8].astype(np.int32)
+    expected = pack_rows(csr.gather(rows))
+    np.testing.assert_array_equal(csr.gather_packed(rows), expected)
+
+    monkeypatch.setattr(native, "_ensure_lib", lambda: None)
+    np.testing.assert_array_equal(csr.gather_packed(rows), expected)
+
+
 def test_numpy_fallback_matches_native(rng, monkeypatch):
     """The pure-numpy fallback path must agree with the C++ engine."""
     n_user, n_item = 40, 30
