@@ -436,10 +436,16 @@ class Trainer:
                     acc.add(p[0], np.asarray(preds[j]))
             pending.clear()
 
+        pack = cfg.wire_format == "packed"
+        if pack:
+            from gdmcf_tpu.ops.bitpack import pack_rows
         for start in range(0, stop, bs):
             idx = np.arange(start, min(start + bs, n), dtype=np.int32)
-            rows = jnp.asarray(union(input_csrs, idx))
-            mask = jnp.asarray(union(mask_csrs, idx))
+            rows = union(input_csrs, idx)
+            mask = union(mask_csrs, idx)
+            if pack:  # union() output is binary (clipped); ship bits
+                rows, mask = pack_rows(rows), pack_rows(mask)
+            rows, mask = jnp.asarray(rows), jnp.asarray(mask)
             gt = gt_csr.gather(idx)
             rows, uids = self._put_batch(rows, jnp.asarray(idx))
             mask, _ = self._put_batch(mask, uids)
