@@ -147,6 +147,11 @@ class Config:
     # (each launch costs ~2.5 ms through the dev relay; also a real win on
     # hardware). The per-epoch remainder runs as single steps.
     train_steps_per_call: int = 1
+    # host-side batch prefetch depth (the reference's DataLoader num_workers
+    # analog, ref main.py:155): a background thread runs C++/numpy batch
+    # assembly this many batches ahead of the train loop. 0 disables.
+    # Order-preserving, so training is bit-identical either way.
+    prefetch_batches: int = 2
     # host->device wire format for training batches: "packed" ships binary
     # rows bit-packed (uint8, 32x less PCIe/tunnel traffic and a 32x smaller
     # [K, B, n_item] staging buffer for the k-fused step; unpacked inside the

@@ -1,0 +1,53 @@
+"""Host-side batch prefetch.
+
+The reference overlaps batch assembly with device compute via
+``DataLoader(num_workers=4)`` (ref main.py:155). The equivalent here is a
+single background thread that runs the (C++/numpy) batch assembly ahead of
+the training loop, bounded by a small queue. Device interaction
+(``jnp.asarray`` / ``device_put``) stays on the caller's thread — only the
+host-side numpy work moves; order is preserved exactly, so training is
+bit-identical with prefetch on or off.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, TypeVar
+
+T = TypeVar("T")
+
+_SENTINEL = object()
+
+
+def prefetched(it: Iterable[T], depth: int = 2) -> Iterator[T]:
+    """Iterate ``it`` on a daemon thread, keeping up to ``depth`` items
+    ready. Exceptions from the producer re-raise at the consumer's next
+    item. ``depth <= 0`` returns ``it`` unchanged."""
+    if depth <= 0:
+        return iter(it)
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            q.put((_SENTINEL, e))
+            return
+        q.put((_SENTINEL, None))
+
+    threading.Thread(target=worker, daemon=True).start()
+
+    def gen():
+        while True:
+            item = q.get()
+            if isinstance(item, tuple) and len(item) == 2 \
+                    and item[0] is _SENTINEL:
+                if item[1] is not None:
+                    raise item[1]
+                return
+            yield item
+
+    return gen()

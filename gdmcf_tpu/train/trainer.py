@@ -193,10 +193,13 @@ class Trainer:
         pending = []
         pack = (self.cfg.wire_format == "packed"
                 and getattr(dataset, "binary", False))
-        for x, idx in epoch_batches(dataset, self.cfg.batch_size, rng,
-                                    shuffle=self.cfg.shuffle,
-                                    drop_last=self.cfg.drop_last,
-                                    packed=pack):
+        from gdmcf_tpu.data.prefetch import prefetched
+        batches = prefetched(
+            epoch_batches(dataset, self.cfg.batch_size, rng,
+                          shuffle=self.cfg.shuffle,
+                          drop_last=self.cfg.drop_last, packed=pack),
+            depth=self.cfg.prefetch_batches)
+        for x, idx in batches:
             # packed batches ship as bits; _train_step_impl unpacks (and
             # block-onehots) inside the compiled program
             x = jnp.asarray(x)
