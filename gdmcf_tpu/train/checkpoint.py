@@ -30,18 +30,29 @@ class Checkpointer:
         )
 
     def save(self, state: TrainState, step: Optional[int] = None,
-             extra: Optional[dict] = None) -> None:
+             extra: Optional[dict] = None, block: bool = True) -> None:
         """``extra``: small JSON-serializable training metadata (best metric /
         best epoch) persisted in a sidecar so resume does not reset model
         selection (a fresh best_metric=-100 would let the first post-resume
-        eval rotate out the genuinely-best checkpoint)."""
+        eval rotate out the genuinely-best checkpoint).
+
+        ``block=False`` returns once the device arrays are snapshotted and
+        lets Orbax write to disk in the background (training continues
+        through the IO; a subsequent save or :meth:`wait` synchronizes).
+        Orbax writes atomically (tmp dir + rename), so a crash mid-write
+        never leaves a half checkpoint visible to restore."""
         step = int(state.step) if step is None else int(step)
         self.manager.save(step, args=ocp.args.StandardSave(state))
-        self.manager.wait_until_finished()
+        if block:
+            self.manager.wait_until_finished()
         if extra is not None:
             import json
             with open(os.path.join(self.directory, "train_meta.json"), "w") as fh:
                 json.dump(extra, fh)
+
+    def wait(self) -> None:
+        """Block until any in-flight background save has committed."""
+        self.manager.wait_until_finished()
 
     def load_extra(self) -> Optional[dict]:
         """Read back the sidecar written by ``save(extra=...)`` (None if absent)."""

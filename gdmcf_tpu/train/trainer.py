@@ -553,9 +553,11 @@ class Trainer:
                     best_epoch = epoch
                     best_results = test_results
                     if checkpointer is not None:
+                        # async: epochs continue through the checkpoint IO;
+                        # the next save (or the end-of-fit wait) syncs
                         checkpointer.save(state, extra={
                             "best_metric": float(best_metric),
-                            "best_epoch": int(best_epoch)})
+                            "best_epoch": int(best_epoch)}, block=False)
 
             log("Runing Epoch {:03d} train loss {:.4f} costs {}".format(
                 epoch, total_loss,
@@ -567,4 +569,6 @@ class Trainer:
         log(f"End. Best Epoch {best_epoch:03d}")
         if best_results is not None:
             print_results(None, None, best_results)
+        if checkpointer is not None:
+            checkpointer.wait()  # commit any in-flight background save
         return state, best_results

@@ -45,6 +45,36 @@ def test_checkpoint_roundtrip_bit_exact(tmp_path):
     ckpt.close()
 
 
+def test_async_save_survives_donation(tmp_path):
+    """save(block=False) must snapshot to host before returning: the next
+    train step DONATES the state buffers (donate_argnums), so a lazy device
+    read in the background writer would see freed memory. Restore must
+    return the pre-donation values bit-exactly."""
+    trainer = make_trainer()
+    state = trainer.init_state()
+    x = (jax.random.uniform(jax.random.PRNGKey(1), (B, N_ITEM)) < 0.3
+         ).astype(jnp.float32)
+    idx = jnp.arange(B, dtype=jnp.int32)
+    for _ in range(2):
+        state, _ = trainer._train_step(state, x, idx)
+    snapshot = jax.tree_util.tree_map(np.array, state)
+
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save(state, extra={"best_metric": 0.5}, block=False)
+    # donate/overwrite the saved buffers while the write is in flight
+    for _ in range(3):
+        state, _ = trainer._train_step(state, x, idx)
+    ckpt.wait()
+
+    template = jax.tree_util.tree_map(np.zeros_like, trainer.init_state())
+    restored = ckpt.restore(template)
+    assert int(restored.step) == 2
+    for a, b in zip(jax.tree_util.tree_leaves(snapshot),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ckpt.load_extra() == {"best_metric": 0.5}
+
+
 def test_fit_resume_from_checkpoint(tmp_path):
     """fit() with ckpt_dir saves the best state; a second fit() with
     resume=True restores it and continues from the right epoch."""
