@@ -374,11 +374,24 @@ class Trainer:
         stop = (n // bs) * bs if cfg.drop_last else n
         if stop == 0 and n > 0:
             stop = n  # serve the single partial batch (see epoch_batches)
+        def _binary(a):
+            return bool(((a == 0) | (a == 1)).all())
+
+        # cache bit-packed when possible: 32x less HBM held across training
+        # and 32x less one-time upload (_eval_step unpacks in-program)
+        pack = (cfg.wire_format == "packed" and _binary(eval_rows)
+                and _binary(mask_matrix))
+        if pack:
+            from gdmcf_tpu.ops.bitpack import pack_rows
         batches = []
         for start in range(0, stop, bs):
-            rows = jnp.asarray(eval_rows[start:start + bs])
+            rows_np = eval_rows[start:start + bs]
+            mask_np = mask_matrix[start:start + rows_np.shape[0]]
+            if pack:
+                rows_np, mask_np = pack_rows(rows_np), pack_rows(mask_np)
+            rows = jnp.asarray(rows_np)
             uids = jnp.arange(start, start + rows.shape[0], dtype=jnp.int32)
-            mask = jnp.asarray(mask_matrix[start:start + rows.shape[0]])
+            mask = jnp.asarray(mask_np)
             rows, uids = self._put_batch(rows, uids)
             mask, _ = self._put_batch(mask, uids)
             batches.append((start, rows, uids, mask))

@@ -53,6 +53,9 @@ def test_eval_cache_not_stale_for_fresh_same_shape_arrays():
     b2 = t._prepare_eval_batches(rows2, mask)
     assert b2 is not b1
     for _start, dev_rows, _uids, _m in b2:
+        if dev_rows.dtype == np.uint8:  # cached in the packed wire format
+            from gdmcf_tpu.ops.bitpack import unpack_rows
+            dev_rows = unpack_rows(dev_rows, 20)
         np.testing.assert_array_equal(np.asarray(dev_rows), 1.0)
 
 
