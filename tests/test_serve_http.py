@@ -1,0 +1,92 @@
+"""HTTP serving front-end (serve_http.py) against an in-process server."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from gdmcf_tpu.config import Config
+from gdmcf_tpu.data.loader import data_load, generate_synthetic_dataset
+from gdmcf_tpu.serve import Recommender
+from gdmcf_tpu.serve_http import make_server
+from gdmcf_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("http")
+    paths = generate_synthetic_dataset(str(tmp), n_user=40, n_item=32,
+                                       avg_degree=6, seed=9)
+    train, _, _, n_user, n_item = data_load(*paths)
+    cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[16], emb_size=10,
+                 steps=5, batch_size=8, sampling_steps=0)
+    trainer = Trainer(cfg, n_user, n_item)
+    rec = Recommender.from_state(trainer, trainer.init_state(), train,
+                                 serve_batch=8)
+    srv = make_server(rec, "127.0.0.1", 0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield rec, f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_healthz(server):
+    _, base = server
+    code, body = _get(base + "/healthz")
+    assert code == 200
+    assert body["ok"] and body["n_user"] == 40 and body["n_item"] == 32
+
+
+def test_get_recommend_matches_library(server):
+    rec, base = server
+    code, body = _get(base + "/recommend?users=0,3,7&k=5")
+    assert code == 200
+    direct, _ = rec.recommend([0, 3, 7], k=5)
+    np.testing.assert_array_equal(np.asarray(body["items"]), direct)
+    assert body["users"] == [0, 3, 7]
+
+
+def test_post_recommend(server):
+    _, base = server
+    req = urllib.request.Request(
+        base + "/recommend",
+        data=json.dumps({"users": [1, 2], "k": 4}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        body = json.loads(r.read())
+    assert len(body["items"]) == 2 and len(body["items"][0]) == 4
+
+
+def test_errors(server):
+    _, base = server
+    import urllib.error
+    for path in ("/recommend?users=&k=5",      # empty users
+                 "/recommend?users=999&k=5",   # out of range
+                 "/recommend?users=x&k=5",     # malformed
+                 "/nope"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(base + path)
+        assert e.value.code in (400, 404)
+
+
+def test_concurrent_requests(server):
+    """Concurrent requests serialize on the lock and all succeed."""
+    rec, base = server
+    results = []
+
+    def hit(u):
+        results.append(_get(base + f"/recommend?users={u}&k=3")[0])
+
+    threads = [threading.Thread(target=hit, args=(u,)) for u in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == [200] * 6
