@@ -62,9 +62,18 @@ class DiffusionDataset:
             mat = mat[:n_rows]
         self.rows = np.ascontiguousarray(mat)
         # duplicate (uid, iid) pairs sum to count cells > 1 (the reference's
-        # CSR build does the same); only strictly binary rows may ride the
-        # bit-packed wire format (ops/bitpack.py)
-        self.binary = bool(mat.max(initial=0.0) <= 1.0)
+        # CSR build does the same), and weighted matrices have fractional
+        # cells; only EXACTLY-0/1 rows may ride the bit-packed wire format
+        # (ops/bitpack.py packs x != 0, which would silently binarize)
+        self.binary = bool(((mat == 0) | (mat == 1)).all())
+
+    @classmethod
+    def from_rows(cls, rows: np.ndarray) -> "DiffusionDataset":
+        """Wrap an already-dense row matrix (no CSR densification)."""
+        self = cls.__new__(cls)
+        self.rows = np.ascontiguousarray(rows, dtype=np.float32)
+        self.binary = bool(((self.rows == 0) | (self.rows == 1)).all())
+        return self
 
     def __len__(self) -> int:
         return self.rows.shape[0]

@@ -23,31 +23,51 @@ _SENTINEL = object()
 def prefetched(it: Iterable[T], depth: int = 2) -> Iterator[T]:
     """Iterate ``it`` on a daemon thread, keeping up to ``depth`` items
     ready. Exceptions from the producer re-raise at the consumer's next
-    item. ``depth <= 0`` returns ``it`` unchanged."""
+    item. ``depth <= 0`` returns ``it`` unchanged.
+
+    An abandoned consumer (exception/break mid-epoch, generator GC) stops
+    the producer: the generator's ``finally`` sets a stop event that the
+    producer polls while putting, so no thread stays blocked holding
+    assembled batches."""
     if depth <= 0:
         return iter(it)
 
     q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """put() that gives up when the consumer is gone."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in it:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # noqa: BLE001 — re-raised in consumer
-            q.put((_SENTINEL, e))
+            _put((_SENTINEL, e))
             return
-        q.put((_SENTINEL, None))
+        _put((_SENTINEL, None))
 
     threading.Thread(target=worker, daemon=True).start()
 
     def gen():
-        while True:
-            item = q.get()
-            if isinstance(item, tuple) and len(item) == 2 \
-                    and item[0] is _SENTINEL:
-                if item[1] is not None:
-                    raise item[1]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, tuple) and len(item) == 2 \
+                        and item[0] is _SENTINEL:
+                    if item[1] is not None:
+                        raise item[1]
+                    return
+                yield item
+        finally:
+            stop.set()
 
     return gen()

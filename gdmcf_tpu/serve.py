@@ -29,17 +29,21 @@ from gdmcf_tpu.train.trainer import Trainer
 
 class Recommender:
     def __init__(self, trainer: Trainer, params, history: NativeCSR,
-                 serve_batch: int = 256):
+                 serve_batch: int = 256, k_max: int = 100):
         self.trainer = trainer
         self.params = params
         self.history = history
         self.serve_batch = serve_batch
+        # ONE program is compiled, at k_max; any k <= k_max is served by
+        # slicing its (score-sorted) result — no recompiles on traffic
+        self.k_max = min(k_max, history.n_item)
         self._key = jax.random.PRNGKey(trainer.cfg.random_seed + 777)
 
     # ------------------------------------------------------------------
     @classmethod
     def from_checkpoint(cls, cfg: Config, ckpt_dir: str, train_csr,
-                        serve_batch: int = 256) -> "Recommender":
+                        serve_batch: int = 256,
+                        k_max: int = 100) -> "Recommender":
         from gdmcf_tpu.train.checkpoint import Checkpointer
 
         history = NativeCSR.from_scipy(train_csr)
@@ -47,18 +51,20 @@ class Recommender:
                           train_csr=train_csr)
         template = trainer.init_state()
         state = Checkpointer(ckpt_dir).restore(template)
-        return cls(trainer, state.params, history, serve_batch)
+        return cls(trainer, state.params, history, serve_batch, k_max)
 
     @classmethod
     def from_state(cls, trainer: Trainer, state, train_csr,
-                   serve_batch: int = 256) -> "Recommender":
+                   serve_batch: int = 256, k_max: int = 100) -> "Recommender":
         return cls(trainer, state.params, NativeCSR.from_scipy(train_csr),
-                   serve_batch)
+                   serve_batch, k_max)
 
     # ------------------------------------------------------------------
     def warmup(self) -> None:
-        """Compile the serving program ahead of traffic."""
-        self.recommend(list(range(min(2, self.history.n_user))), k=10)
+        """Compile the serving program ahead of traffic (the ONE program at
+        k_max; every later k <= k_max reuses it)."""
+        self.recommend(list(range(min(2, self.history.n_user))),
+                       k=min(10, self.k_max))
 
     def recommend(self, user_ids: Sequence[int], k: int = 20,
                   exclude_history: bool = True
@@ -67,26 +73,29 @@ class Recommender:
         device only). Requests of any size are served by padding to the
         fixed ``serve_batch`` shape; returns ([n, k] items, [n] user_ids)."""
         cfg = self.trainer.cfg
+        if not 1 <= k <= self.k_max:
+            raise ValueError(f"k={k} outside [1, k_max={self.k_max}] — the "
+                             "serving program is compiled once at k_max")
         user_ids = np.asarray(user_ids, dtype=np.int32)
         results = []
         for start in range(0, len(user_ids), self.serve_batch):
             chunk = user_ids[start:start + self.serve_batch]
             pad = self.serve_batch - len(chunk)
             padded = np.concatenate([chunk, np.zeros(pad, np.int32)])
-            if cfg.wire_format == "packed":
-                # NativeCSR rows are always binary: assemble + ship bits
-                # (32x less request payload; _eval_step unpacks in-program)
-                rows = self.history.gather_packed(padded)
-                mask = rows if exclude_history else np.zeros_like(rows)
-            else:
-                rows = self.history.gather(padded)
-                mask = rows if exclude_history else np.zeros_like(rows)
+            # NativeCSR rows are always binary: assemble + ship bits
+            # (32x less request payload; _eval_step unpacks in-program)
+            rows = (self.history.gather_packed(padded)
+                    if cfg.wire_format == "packed"
+                    else self.history.gather(padded))
+            mask = rows if exclude_history else np.zeros_like(rows)
             self._key, sub = jax.random.split(self._key)
             idx = self.trainer._eval_step(
                 self.params, jnp.asarray(rows), jnp.asarray(padded),
                 jnp.asarray(mask), sub,
-                sampling_steps=cfg.sampling_steps, top_k=k)
-            results.append(np.asarray(idx)[: len(chunk)])
+                sampling_steps=cfg.sampling_steps, top_k=self.k_max)
+            # top-k indices are score-sorted: the k-prefix of the k_max
+            # ranking IS the top-k result
+            results.append(np.asarray(idx)[: len(chunk), :k])
         return np.concatenate(results, axis=0), user_ids
 
 

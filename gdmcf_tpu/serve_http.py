@@ -43,6 +43,10 @@ def make_server(recommender, host: str = "127.0.0.1", port: int = 8080
             if not users:
                 self._reply(400, {"error": "users must be non-empty"})
                 return
+            if not 1 <= k <= recommender.k_max:
+                self._reply(400, {"error": f"k must be in [1, "
+                                           f"{recommender.k_max}] (k_max)"})
+                return
             n_user = recommender.history.n_user
             bad = [u for u in users if not 0 <= u < n_user]
             if bad:
@@ -61,7 +65,8 @@ def make_server(recommender, host: str = "127.0.0.1", port: int = 8080
                 self._reply(200, {"ok": True,
                                   "n_user": recommender.history.n_user,
                                   "n_item": recommender.history.n_item,
-                                  "serve_batch": recommender.serve_batch})
+                                  "serve_batch": recommender.serve_batch,
+                                  "k_max": recommender.k_max})
                 return
             if url.path == "/recommend":
                 q = parse_qs(url.query)
@@ -88,7 +93,7 @@ def make_server(recommender, host: str = "127.0.0.1", port: int = 8080
                 users = [int(u) for u in req["users"]]
                 k = int(req.get("k", 20))
                 exclude = bool(req.get("exclude_history", True))
-            except (KeyError, ValueError, json.JSONDecodeError):
+            except (KeyError, TypeError, ValueError, json.JSONDecodeError):
                 self._reply(400, {"error": "body must be JSON with 'users'"})
                 return
             self._recommend(users, k, exclude)
@@ -112,6 +117,7 @@ def main(argv=None):
     http_flags.add_argument("--host", default="127.0.0.1")
     http_flags.add_argument("--port", type=int, default=8080)
     http_flags.add_argument("--serve_batch", type=int, default=256)
+    http_flags.add_argument("--k_max", type=int, default=100)
     ns, rest = http_flags.parse_known_args(args)
     cfg = parse_args(rest)
 
@@ -123,12 +129,14 @@ def main(argv=None):
     ckpt = ns.ckpt_dir_serve or cfg.ckpt_dir
     if ckpt and os.path.isdir(ckpt):
         rec = Recommender.from_checkpoint(cfg, ckpt, train,
-                                          serve_batch=ns.serve_batch)
+                                          serve_batch=ns.serve_batch,
+                                          k_max=ns.k_max)
         print(f"loaded checkpoint from {ckpt}")
     else:
         trainer = Trainer(cfg, n_user, n_item, train_csr=train)
         rec = Recommender.from_state(trainer, trainer.init_state(), train,
-                                     serve_batch=ns.serve_batch)
+                                     serve_batch=ns.serve_batch,
+                                     k_max=ns.k_max)
         print("no checkpoint; serving from fresh init (demo mode)")
     rec.warmup()
     srv = make_server(rec, ns.host, ns.port)

@@ -40,19 +40,33 @@ class Checkpointer:
         lets Orbax write to disk in the background (training continues
         through the IO; a subsequent save or :meth:`wait` synchronizes).
         Orbax writes atomically (tmp dir + rename), so a crash mid-write
-        never leaves a half checkpoint visible to restore."""
+        never leaves a half checkpoint visible to restore. The ``extra``
+        sidecar is only written AFTER its checkpoint commits (deferred to
+        the next save/:meth:`wait` when non-blocking): meta must never point
+        at a best checkpoint that did not land — resume would then chase a
+        phantom best_metric and could early-stop on stale state. The
+        opposite staleness (checkpoint landed, meta one best behind) is
+        harmless: resume just re-saves on the next best."""
         step = int(state.step) if step is None else int(step)
+        if not block:
+            # commit any previous async save (and its deferred sidecar)
+            # before starting a new one
+            self.wait()
         self.manager.save(step, args=ocp.args.StandardSave(state))
+        self._pending_extra = extra
         if block:
-            self.manager.wait_until_finished()
-        if extra is not None:
-            import json
-            with open(os.path.join(self.directory, "train_meta.json"), "w") as fh:
-                json.dump(extra, fh)
+            self.wait()
 
     def wait(self) -> None:
-        """Block until any in-flight background save has committed."""
+        """Block until any in-flight background save has committed, then
+        write its deferred ``extra`` sidecar."""
         self.manager.wait_until_finished()
+        extra = getattr(self, "_pending_extra", None)
+        if extra is not None:
+            import json
+            self._pending_extra = None
+            with open(os.path.join(self.directory, "train_meta.json"), "w") as fh:
+                json.dump(extra, fh)
 
     def load_extra(self) -> Optional[dict]:
         """Read back the sidecar written by ``save(extra=...)`` (None if absent)."""

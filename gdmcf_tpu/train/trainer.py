@@ -127,6 +127,7 @@ class Trainer:
             # compiled program so the [B, n_item] f32 tensor exists only as
             # an XLA fusion input, never as a host->device transfer
             from gdmcf_tpu.ops.bitpack import unpack_rows
+            self._check_packed_width(x)
             x = unpack_rows(x, self.n_item)
             if self.cfg.OneHotMatrix == 1:
                 x = self._to_block_onehot(x)
@@ -175,6 +176,18 @@ class Trainer:
         # examples/s at k=20) — XLA already keeps the scan carry in place
         state, losses = jax.lax.scan(body, state, (xs, idxs))
         return state, losses
+
+    def _check_packed_width(self, x: jnp.ndarray) -> None:
+        """uint8 inputs are IN-BAND packed batches; fail loudly if the shape
+        says otherwise (e.g. a caller passing genuine uint8 dense rows, which
+        unpack_rows would silently reinterpret as bit-flags)."""
+        want = (self.n_item + 7) // 8
+        if x.shape[-1] != want:
+            raise ValueError(
+                f"uint8 batch last dim {x.shape[-1]} != ceil(n_item/8)="
+                f"{want}: uint8 means the bit-packed wire format "
+                "(ops/bitpack.pack_rows). For dense rows use float32, or "
+                "pack them.")
 
     @staticmethod
     def _to_block_onehot(x: jnp.ndarray) -> jnp.ndarray:
@@ -232,9 +245,11 @@ class Trainer:
             # bit-packed request payload (ops/bitpack.py; used by serve.py —
             # 32x less wire per recommend() chunk)
             from gdmcf_tpu.ops.bitpack import unpack_rows
+            self._check_packed_width(x)
             x = unpack_rows(x, self.n_item)
         if mask.dtype == jnp.uint8:
             from gdmcf_tpu.ops.bitpack import unpack_rows
+            self._check_packed_width(mask)
             mask = unpack_rows(mask, self.n_item)
         with jax.default_matmul_precision(self._matmul_precision()):
             return self._eval_step_body(params, x, index, mask, key,
@@ -484,8 +499,7 @@ class Trainer:
             valid_gt = np.asarray(valid_csr.todense(), dtype=np.float32)[:n_rows]
             test_gt = np.asarray(test_csr.todense(), dtype=np.float32)[:n_rows]
             mask_tv = np.clip(train_rows + valid_gt, 0, 1)
-            dataset = DiffusionDataset.__new__(DiffusionDataset)
-            dataset.rows = train_rows
+            dataset = DiffusionDataset.from_rows(train_rows)
         else:
             from gdmcf_tpu.data.native import NativeCSR
             train_n = NativeCSR.from_scipy(train_csr[:n_rows])

@@ -93,6 +93,55 @@ def test_bad_wire_format_rejected():
         Config(wire_format="int4")
 
 
+def test_fractional_dataset_not_binary():
+    """Weighted matrices (values in (0,1)) must NOT be declared packable —
+    pack_rows(x != 0) would silently binarize them."""
+    import scipy.sparse as sp
+
+    m = sp.csr_matrix(np.array([[0.5, 0.0], [0.0, 1.0]], dtype=np.float32))
+    assert not DiffusionDataset(m).binary
+    assert not DiffusionDataset.from_rows(
+        np.array([[0.5, 1.0]], dtype=np.float32)).binary
+    assert DiffusionDataset.from_rows(
+        np.array([[0.0, 1.0]], dtype=np.float32)).binary
+
+
+def test_fit_path_actually_packs(tmp_path):
+    """Regression: fit() builds its dataset without the CSR constructor; the
+    packed wire format must still engage there (the .binary flag was once
+    left unset by __new__, silently disabling packing for all CLI runs)."""
+    paths = generate_synthetic_dataset(str(tmp_path / "d"), n_user=48,
+                                       n_item=30, avg_degree=8, seed=3)
+    train, valid, test, n_user, n_item = data_load(*paths)
+    cfg = Config(backbone="DNN", dims=[16], emb_size=10, steps=5,
+                 batch_size=16, lr=1e-3, sampling_steps=0, epochs=1,
+                 eval_every=5)
+    trainer = Trainer(cfg, n_user, n_item)
+    seen = []
+    orig = trainer._train_step
+
+    def spy(state, x, idx):
+        seen.append(x.dtype)
+        return orig(state, x, idx)
+
+    trainer._train_step = spy
+    trainer.fit(train, valid, test, log=lambda *a, **k: None)
+    assert seen and all(d == np.uint8 for d in seen)
+
+
+def test_uint8_wrong_width_rejected():
+    """Genuine uint8 dense rows must fail loudly, not be reinterpreted as
+    bit-flags (in-band dtype dispatch needs the shape to agree)."""
+    cfg = Config(backbone="DNN", dims=[8], emb_size=10, steps=5,
+                 batch_size=4, sampling_steps=0)
+    trainer = Trainer(cfg, 16, 30)
+    state = trainer.init_state()
+    x = np.zeros((4, 30), dtype=np.uint8)  # dense binary, NOT packed
+    with pytest.raises(ValueError, match="bit-packed wire format"):
+        trainer._train_step(state, jnp.asarray(x),
+                            jnp.arange(4, dtype=jnp.int32))
+
+
 def test_serve_packed_matches_f32(tmp_path):
     """recommend() must return identical top-k under both wire formats."""
     from gdmcf_tpu.serve import Recommender

@@ -47,6 +47,30 @@ def test_slow_consumer_bounded():
     assert len(produced) <= 6
 
 
+def test_abandoned_consumer_stops_producer():
+    """Breaking out of the loop mid-epoch must release the producer thread
+    (no thread parked forever on a full queue holding batches)."""
+    import threading
+    import time
+
+    started = threading.active_count()
+    alive = {"n": 0}
+
+    def gen():
+        for i in range(1000):
+            alive["n"] = i
+            yield np.zeros((64, 64))
+
+    it = prefetched(gen(), depth=2)
+    next(it)
+    it.close()  # consumer walks away (same path as an exception/break)
+    time.sleep(1.0)
+    produced_at_close = alive["n"]
+    time.sleep(0.5)
+    assert alive["n"] == produced_at_close  # producer stopped
+    assert threading.active_count() <= started + 1
+
+
 def test_trainer_prefetch_equivalence(tmp_path):
     """Prefetch on/off yields bit-identical training (order preserved)."""
     from gdmcf_tpu.config import Config

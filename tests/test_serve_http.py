@@ -70,10 +70,36 @@ def test_errors(server):
     for path in ("/recommend?users=&k=5",      # empty users
                  "/recommend?users=999&k=5",   # out of range
                  "/recommend?users=x&k=5",     # malformed
+                 "/recommend?users=1&k=0",     # k out of range
+                 "/recommend?users=1&k=99999", # k > k_max
                  "/nope"):
         with pytest.raises(urllib.error.HTTPError) as e:
             _get(base + path)
         assert e.value.code in (400, 404)
+
+
+def test_post_bad_bodies_return_400(server):
+    """Non-dict JSON / non-list users must 400, not kill the handler."""
+    import urllib.error
+    _, base = server
+    for body in (b"[1,2]", b'{"users": 5}', b"not json", b""):
+        req = urllib.request.Request(
+            base + "/recommend", data=body,
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=60)
+        assert e.value.code == 400
+
+
+def test_k_prefix_of_kmax_ranking_is_exact(server):
+    """The single k_max-compiled program sliced to k must equal a program
+    compiled directly at k."""
+    rec, _ = server
+    items_sliced, _ = rec.recommend([0, 5, 9], k=4)
+    direct = Recommender(rec.trainer, rec.params, rec.history,
+                         serve_batch=rec.serve_batch, k_max=4)
+    items_direct, _ = direct.recommend([0, 5, 9], k=4)
+    np.testing.assert_array_equal(items_sliced, items_direct)
 
 
 def test_concurrent_requests(server):
