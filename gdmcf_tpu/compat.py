@@ -1,0 +1,195 @@
+"""Import trained reference (PyTorch) checkpoints into gdmcf_tpu params.
+
+The reference saves its best model as a whole-module pickle
+(``torch.save(model, 'model.pth')``, ref main.py:373-375). A user migrating
+a trained run loads it here:
+
+    from gdmcf_tpu.compat import import_reference_checkpoint
+    params = import_reference_checkpoint("model.pth", cfg, n_user, n_item)
+
+or from the CLI, writing a resume-ready Orbax checkpoint:
+
+    python -m gdmcf_tpu.compat model.pth -c configs/yelpOneEmbGcn.yaml \\
+        --data_path ./Datasets/yelp_clean/ --out ./ckpt
+
+Accepted inputs: a pickled module (needs its class importable — the repo's
+repaired-reference loader is used for that), a ``state_dict`` saved with
+``torch.save(model.state_dict(), ...)``, or an ``.npz`` of the state_dict
+(export with ``np.savez(path, **{k: v.cpu().numpy() for k, v in
+model.state_dict().items()})`` when torch_geometric isn't available here).
+
+Name mapping (torch Linear stores ``weight [out, in]``; our ``w`` is
+``[in, out]``):
+
+    emb_layer.{weight,bias}        -> emb_layer.{w.T,b}
+    in_layers.N / in_layers2.N /
+      out_layers.N .{weight,bias}  -> same list, {w.T,b}
+    embedding_{item,user}.weight   -> embedding_{item,user}
+    gcn_model.convK.lin.weight     -> gcn.convK.w.T   (GCNConv linear)
+    gcn_model.convK.bias           -> gcn.convK.b
+    sumW                           -> sumW
+
+``out_layers.*`` entries are skipped when the target backbone does not
+allocate them (the reference constructs but bypasses them in the embedding
+variants — ref DNN.py:648-652; documented in models/backbones.py).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def _assign(tree: Any, path, value: np.ndarray):
+    """Set a leaf in a nested dict/list params pytree, checking shape."""
+    node = tree
+    for p in path[:-1]:
+        node = node[p]
+    old = node[path[-1]]
+    if tuple(old.shape) != tuple(value.shape):
+        raise ValueError(f"shape mismatch at {'.'.join(map(str, path))}: "
+                         f"checkpoint {value.shape} vs model {old.shape}")
+    node[path[-1]] = value.astype(np.asarray(old).dtype)
+
+
+def _resolve(name: str, template: Mapping[str, Any]):
+    """torch state_dict name -> (path tuple, transpose?) or None to skip."""
+    m = re.fullmatch(r"(in_layers2?|out_layers)\.(\d+)\.(weight|bias)", name)
+    if m:
+        group, i, kind = m.group(1), int(m.group(2)), m.group(3)
+        if group not in template:
+            if group == "out_layers":
+                return None  # constructed-but-bypassed in the reference
+            raise KeyError(f"model has no parameter group {group!r}")
+        return ((group, i, "w" if kind == "weight" else "b"),
+                kind == "weight")
+    m = re.fullmatch(r"emb_layer\.(weight|bias)", name)
+    if m:
+        return (("emb_layer", "w" if m.group(1) == "weight" else "b"),
+                m.group(1) == "weight")
+    m = re.fullmatch(r"embedding_(item|user)\.weight", name)
+    if m:
+        return ((f"embedding_{m.group(1)}",), False)
+    m = re.fullmatch(r"gcn_model\.(conv\d)\.lin\.weight", name)
+    if m:
+        return (("gcn", m.group(1), "w"), True)
+    m = re.fullmatch(r"gcn_model\.(conv\d)\.bias", name)
+    if m:
+        return (("gcn", m.group(1), "b"), False)
+    if name == "sumW":
+        return (("sumW",), False)
+    raise KeyError(f"unrecognized reference parameter {name!r}")
+
+
+def params_from_state_dict(sd: Mapping[str, Any], template: Any) -> Any:
+    """Fill a ``model.init`` template with reference weights by name.
+
+    Raises on shape mismatch, unknown names, or template leaves the
+    state_dict does not cover (silent partial imports are worse than
+    errors)."""
+    import copy
+
+    import jax
+
+    params = jax.tree_util.tree_map(np.asarray, template)
+    params = copy.deepcopy(params)
+    filled = set()
+    for name, value in sd.items():
+        value = np.asarray(value)
+        resolved = _resolve(name, params)
+        if resolved is None:
+            continue
+        path, transpose = resolved
+        _assign(params, path, value.T if transpose else value)
+        filled.add(path)
+
+    missing = []
+
+    def visit(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                visit(v, path + (k,))
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                visit(v, path + (i,))
+        else:
+            if path not in filled:
+                missing.append(".".join(map(str, path)))
+
+    visit(params, ())
+    if missing:
+        raise ValueError(f"state_dict left model parameters unfilled: "
+                         f"{missing}")
+    return params
+
+
+def _load_state_dict(path: str) -> Mapping[str, np.ndarray]:
+    if path.endswith(".npz"):
+        return dict(np.load(path))
+    import torch
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    except (ModuleNotFoundError, AttributeError):
+        # whole-module pickle referencing the reference classes: make them
+        # importable via the repaired-reference loader, then retry
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]
+                               / "benchmarks"))
+        from reference_runner import load_reference
+        load_reference()
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    return {k: v.detach().cpu().numpy() for k, v in obj.items()}
+
+
+def import_reference_checkpoint(path: str, cfg, n_user: int, n_item: int):
+    """Load a reference checkpoint file into a params pytree for ``cfg``."""
+    import jax
+
+    from gdmcf_tpu.models.registry import build_model
+
+    model = build_model(cfg, n_user, n_item)
+    template = model.init(jax.random.PRNGKey(0))
+    return params_from_state_dict(_load_state_dict(path), template)
+
+
+def main(argv=None):
+    import argparse
+    import os
+    import sys
+
+    import jax
+
+    from gdmcf_tpu.config import parse_args
+    from gdmcf_tpu.data.loader import data_load
+    from gdmcf_tpu.train.checkpoint import Checkpointer
+    from gdmcf_tpu.train.trainer import Trainer
+
+    args = argv if argv is not None else sys.argv[1:]
+    conv = argparse.ArgumentParser(add_help=False)
+    conv.add_argument("checkpoint", help=".pth / state_dict / .npz")
+    conv.add_argument("--out", required=True, help="Orbax checkpoint dir")
+    ns, rest = conv.parse_known_args(args)
+    cfg = parse_args(rest)
+
+    _, _, _, n_user, n_item = data_load(
+        os.path.join(cfg.data_path, "train_list.npy"),
+        os.path.join(cfg.data_path, "valid_list.npy"),
+        os.path.join(cfg.data_path, "test_list.npy"))
+    params = import_reference_checkpoint(ns.checkpoint, cfg, n_user, n_item)
+    trainer = Trainer(cfg, n_user, n_item)
+    state = trainer.init_state()
+    state = state._replace(
+        params=jax.tree_util.tree_map(lambda t, v: np.asarray(v, t.dtype),
+                                      state.params, params))
+    Checkpointer(ns.out).save(state)
+    print(f"imported {ns.checkpoint} -> {ns.out} "
+          f"(step 0, fresh optimizer state)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Reference-checkpoint importer (compat.py) against the REAL reference.
+
+Builds the actual (repaired) reference modules via
+benchmarks/reference_runner, takes their state_dicts, and imports them into
+gdmcf_tpu params — then checks forward parity at the imported weights.
+"""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "benchmarks"))
+
+from gdmcf_tpu.compat import import_reference_checkpoint, \
+    params_from_state_dict
+from gdmcf_tpu.config import Config
+from gdmcf_tpu.models.registry import build_model
+
+N_USER, N_ITEM, B = 40, 30, 8
+
+
+def _reference_model(backbone, dims, emb_size):
+    from reference_runner import load_reference
+    rdnn = load_reference()[1]
+    out_dims = dims + [N_ITEM]
+    in_dims = out_dims[::-1]
+    cls = getattr(rdnn, backbone)
+    if backbone in ("DNNOneHotEmbedding",):
+        return cls(in_dims, out_dims, emb_size,
+                   item_num=N_ITEM, user_num=N_USER)
+    return cls(in_dims, out_dims, emb_size)
+
+
+@pytest.mark.parametrize("backbone", ["DNN", "DNNOneHotEmbedding"])
+def test_import_real_reference_state_dict(backbone):
+    import torch
+
+    tmodel = _reference_model(backbone, [16], 10)
+    sd = {k: v.detach().cpu().numpy()
+          for k, v in tmodel.state_dict().items()}
+
+    cfg = Config(backbone=backbone, dims=[16], emb_size=10, steps=5)
+    model = build_model(cfg, N_USER, N_ITEM)
+    template = model.init(jax.random.PRNGKey(0))
+    params = params_from_state_dict(sd, template)
+
+    # spot-check the transpose convention on the first tower layer
+    np.testing.assert_allclose(np.asarray(params["in_layers"][0]["w"]),
+                               sd["in_layers.0.weight"].T)
+
+    # forward parity at identical weights (eval mode, no dropout)
+    tmodel.eval()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((B, N_ITEM)).astype(np.float32)
+    t = np.zeros((B,), dtype=np.int64)
+    with torch.no_grad():
+        if backbone == "DNN":
+            ref_out = tmodel(torch.tensor(x), torch.tensor(t)).numpy()
+            ours, _ = model.apply(params, jnp.asarray(x),
+                                  jnp.asarray(t, dtype=jnp.int32),
+                                  None, train=False, rng=None)
+        else:
+            x_bin = (rng.random((B, N_ITEM)) < 0.3).astype(np.float32)
+            x_u = np.stack([1.0 - x_bin, x_bin], axis=-1)
+            index = torch.arange(B)
+            ref_out = tmodel(torch.tensor(x), torch.tensor(t),
+                             torch.tensor(x_u), index).numpy()
+            ours, _ = model.apply(params, jnp.asarray(x),
+                                  jnp.asarray(t, dtype=jnp.int32),
+                                  jnp.asarray(x_u),
+                                  index=jnp.arange(B, dtype=jnp.int32),
+                                  train=False, rng=None)
+    np.testing.assert_allclose(np.asarray(ours), ref_out,
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_import_rejects_shape_mismatch():
+    cfg = Config(backbone="DNN", dims=[16], emb_size=10, steps=5)
+    model = build_model(cfg, N_USER, N_ITEM)
+    template = model.init(jax.random.PRNGKey(0))
+    sd = {"in_layers.0.weight": np.zeros((3, 3), np.float32)}
+    with pytest.raises(ValueError, match="shape mismatch"):
+        params_from_state_dict(sd, template)
+
+
+def test_import_rejects_partial_state_dict():
+    cfg = Config(backbone="DNN", dims=[16], emb_size=10, steps=5)
+    model = build_model(cfg, N_USER, N_ITEM)
+    template = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="unfilled"):
+        params_from_state_dict({}, template)
+
+
+def test_import_npz_roundtrip(tmp_path):
+    tmodel = _reference_model("DNN", [16], 10)
+    sd = {k: v.detach().cpu().numpy()
+          for k, v in tmodel.state_dict().items()}
+    npz = tmp_path / "sd.npz"
+    np.savez(npz, **sd)
+    cfg = Config(backbone="DNN", dims=[16], emb_size=10, steps=5)
+    params = import_reference_checkpoint(str(npz), cfg, N_USER, N_ITEM)
+    np.testing.assert_allclose(np.asarray(params["emb_layer"]["b"]),
+                               sd["emb_layer.bias"])
