@@ -62,6 +62,19 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
+def local_row_range(n_rows: int) -> range:
+    """This process's disjoint user-row shard for multi-host data loading:
+    feed ``dataset[local_row_range(len(dataset))]`` rows to
+    ``Trainer._put_batch`` and the global batch is their concatenation over
+    processes (dp axis). Rows are split as evenly as possible; earlier
+    processes take the remainder."""
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    base, rem = divmod(n_rows, nproc)
+    start = pid * base + min(pid, rem)
+    return range(start, start + base + (1 if pid < rem else 0))
+
+
 def sync_hosts(name: str = "barrier", devices=None) -> None:
     """Cross-host barrier via a tiny psum (safe on single host too)."""
     from jax.sharding import PartitionSpec as P

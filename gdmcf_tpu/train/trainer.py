@@ -103,12 +103,36 @@ class Trainer:
         from jax.sharding import NamedSharding
         from gdmcf_tpu.parallel.sharding import compatible_spec
         from jax.sharding import PartitionSpec as P
+        if jax.process_count() > 1:
+            return self._put_batch_multihost(x, idx)
         x = jnp.asarray(x)
         idx = jnp.asarray(idx)
         xs = compatible_spec(P("dp", "mp"), x.shape, self.mesh)
         is_ = compatible_spec(P("dp"), idx.shape, self.mesh)
         return (jax.device_put(x, NamedSharding(self.mesh, xs)),
                 jax.device_put(idx, NamedSharding(self.mesh, is_)))
+
+    def _put_batch_multihost(self, x, idx):
+        """Multi-host feed: ``x``/``idx`` are THIS process's local batch rows
+        (each host loads a disjoint user shard — see
+        parallel.multihost.local_row_range). The global batch is the
+        concatenation over processes along the dp axis; plain device_put
+        cannot place onto non-addressable devices, so the global array is
+        assembled from per-process shards."""
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        from gdmcf_tpu.parallel.sharding import compatible_spec
+        x = np.asarray(x)
+        idx = np.asarray(idx)
+        nproc = jax.process_count()
+        gx_shape = (x.shape[0] * nproc,) + x.shape[1:]
+        gi_shape = (idx.shape[0] * nproc,) + idx.shape[1:]
+        xs = compatible_spec(P("dp", "mp"), gx_shape, self.mesh)
+        is_ = compatible_spec(P("dp"), gi_shape, self.mesh)
+        return (jax.make_array_from_process_local_data(
+                    NamedSharding(self.mesh, xs), x, gx_shape),
+                jax.make_array_from_process_local_data(
+                    NamedSharding(self.mesh, is_), idx, gi_shape))
 
     def num_params(self, state: TrainState) -> int:
         return param_count(state.params)

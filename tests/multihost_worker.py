@@ -52,7 +52,36 @@ def main():
 
     multihost.sync_hosts()
     assert multihost.is_main_process() == (pid == 0)
-    print(f"WORKER_OK pid={pid} total={total}", flush=True)
+
+    # -- real production train step over the multi-host mesh ---------------
+    # each process feeds ONLY its local user shard; the Trainer assembles
+    # the global dp-sharded batch (make_array_from_process_local_data)
+    from gdmcf_tpu.config import Config
+    from gdmcf_tpu.train.trainer import Trainer
+
+    n_user, n_item, local_b = 8 * nproc, 16, 4
+    cfg = Config(backbone="DNN", dims=[8], emb_size=10, steps=5,
+                 batch_size=local_b * nproc, sampling_steps=0,
+                 mesh_dp=nproc, mesh_mp=2)
+    trainer = Trainer(cfg, n_user, n_item)
+    trainer.mesh = mesh  # the multi-host mesh, not the local-devices one
+    state = trainer.init_state()
+
+    rows = range(pid * local_b, (pid + 1) * local_b)
+    assert list(multihost.local_row_range(local_b * nproc)) == list(rows)
+    rng = np.random.default_rng(7)  # same stream; slice my shard
+    all_x = (rng.random((local_b * nproc, n_item)) < 0.3).astype(np.float32)
+    x_local = all_x[rows.start:rows.stop]
+    idx_local = np.arange(rows.start, rows.stop, dtype=np.int32)
+
+    gx, gidx = trainer._put_batch(x_local, idx_local)
+    assert gx.shape[0] == local_b * nproc, gx.shape
+    state, loss = trainer._train_step(state, gx, gidx)
+    loss = float(np.asarray(jax.device_get(loss)))
+    assert np.isfinite(loss), loss
+
+    multihost.sync_hosts()
+    print(f"WORKER_OK pid={pid} total={total} loss={loss:.6f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -9,6 +9,7 @@ time.
 
 import os
 import socket
+import re
 import subprocess
 import sys
 
@@ -47,6 +48,10 @@ def test_two_process_distributed_smoke(nproc):
                 q.kill()
             raise
         outs.append(out)
+    losses = []
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"WORKER_OK pid={pid}" in out, out
+        losses.append(re.search(r"loss=([-\d.einf]+)", out).group(1))
+    # every host must compute the SAME global loss from its own data shard
+    assert len(set(losses)) == 1, losses
