@@ -91,6 +91,31 @@ class DiffusionDataset:
         return pack_rows(self.rows[idx])
 
 
+class RowSlice:
+    """A contiguous row-range view over any dataset (DiffusionDataset or
+    NativeCSR): this is a process's local shard for multi-host training.
+    ``offset`` maps slice positions back to global user ids."""
+
+    def __init__(self, dataset, rows: range):
+        self.dataset = dataset
+        self.offset = rows.start
+        self._len = len(rows)
+        self.binary = getattr(dataset, "binary", False)
+
+    def __len__(self) -> int:
+        return self._len
+
+    def gather(self, idx: np.ndarray) -> np.ndarray:
+        return self.dataset.gather(np.asarray(idx) + self.offset)
+
+    def gather_packed(self, idx: np.ndarray) -> np.ndarray:
+        g = getattr(self.dataset, "gather_packed", None)
+        if g is None:
+            from gdmcf_tpu.ops.bitpack import pack_rows
+            return pack_rows(self.gather(idx))
+        return g(np.asarray(idx) + self.offset)
+
+
 def epoch_batches(
     dataset: DiffusionDataset,
     batch_size: int,

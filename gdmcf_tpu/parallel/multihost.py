@@ -66,13 +66,13 @@ def local_row_range(n_rows: int) -> range:
     """This process's disjoint user-row shard for multi-host data loading:
     feed ``dataset[local_row_range(len(dataset))]`` rows to
     ``Trainer._put_batch`` and the global batch is their concatenation over
-    processes (dp axis). Rows are split as evenly as possible; earlier
-    processes take the remainder."""
+    processes (dp axis). Shards are EXACTLY equal — the remainder rows are
+    dropped (like drop_last) so every host runs the same number of global
+    collective steps per epoch; a skewed shard would deadlock the slice."""
     nproc = jax.process_count()
     pid = jax.process_index()
-    base, rem = divmod(n_rows, nproc)
-    start = pid * base + min(pid, rem)
-    return range(start, start + base + (1 if pid < rem else 0))
+    base = n_rows // nproc
+    return range(pid * base, (pid + 1) * base)
 
 
 def sync_hosts(name: str = "barrier", devices=None) -> None:

@@ -97,13 +97,24 @@ class Trainer:
             state = state._replace(params=params, opt_state=opt_state)
         return state
 
-    def _put_batch(self, x: jnp.ndarray, idx: jnp.ndarray):
+    def _put_batch(self, x: jnp.ndarray, idx: jnp.ndarray,
+                   replicate: bool = False):
+        """``replicate=True`` marks an EVAL batch in multi-host mode: every
+        process passes the identical full batch and gets a replicated global
+        array (each host evaluates the full set — redundant compute, no
+        cross-host metric plumbing). Train batches are per-process shards."""
         if self.mesh is None:
             return jnp.asarray(x), jnp.asarray(idx)
         from jax.sharding import NamedSharding
         from gdmcf_tpu.parallel.sharding import compatible_spec
         from jax.sharding import PartitionSpec as P
         if jax.process_count() > 1:
+            if replicate:
+                x, idx = np.asarray(x), np.asarray(idx)
+                rep = NamedSharding(self.mesh, P())
+                return (jax.make_array_from_process_local_data(rep, x, x.shape),
+                        jax.make_array_from_process_local_data(rep, idx,
+                                                               idx.shape))
             return self._put_batch_multihost(x, idx)
         x = jnp.asarray(x)
         idx = jnp.asarray(idx)
@@ -228,17 +239,35 @@ class Trainer:
         losses = []
         k = max(self.cfg.train_steps_per_call, 1)
         pending = []
+        bs = self.cfg.batch_size
+        offset = 0
+        nproc = jax.process_count()
+        if self.mesh is not None and nproc > 1:
+            # multi-host: each process trains on its disjoint user shard
+            # with the LOCAL slice of the global batch; _put_batch assembles
+            # the global dp batch from the per-process shards
+            from gdmcf_tpu.data.loader import RowSlice
+            from gdmcf_tpu.parallel.multihost import local_row_range
+            if bs % nproc:
+                raise ValueError(f"batch_size {bs} must divide evenly over "
+                                 f"{nproc} processes")
+            rows = local_row_range(len(dataset))
+            dataset = RowSlice(dataset, rows)
+            offset = rows.start
+            bs //= nproc
         pack = (self.cfg.wire_format == "packed"
                 and getattr(dataset, "binary", False))
         from gdmcf_tpu.data.prefetch import prefetched
         batches = prefetched(
-            epoch_batches(dataset, self.cfg.batch_size, rng,
+            epoch_batches(dataset, bs, rng,
                           shuffle=self.cfg.shuffle,
                           drop_last=self.cfg.drop_last, packed=pack),
             depth=self.cfg.prefetch_batches)
         for x, idx in batches:
             # packed batches ship as bits; _train_step_impl unpacks (and
             # block-onehots) inside the compiled program
+            if offset:
+                idx = idx + np.int32(offset)  # slice position -> global id
             x = jnp.asarray(x)
             if self.cfg.OneHotMatrix == 1 and not pack:
                 x = self._to_block_onehot(x)
@@ -276,8 +305,15 @@ class Trainer:
             self._check_packed_width(mask)
             mask = unpack_rows(mask, self.n_item)
         with jax.default_matmul_precision(self._matmul_precision()):
-            return self._eval_step_body(params, x, index, mask, key,
-                                        sampling_steps, top_k)
+            out = self._eval_step_body(params, x, index, mask, key,
+                                       sampling_steps, top_k)
+        if self.mesh is not None and jax.process_count() > 1:
+            # multi-host eval is replicated (see _put_batch): pin the output
+            # replicated too so every host can read the full result
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            out = jax.lax.with_sharding_constraint(
+                out, NamedSharding(self.mesh, P()))
+        return out
 
     def _eval_step_body(self, params, x, index, mask, key,
                         sampling_steps: int, top_k: int):
@@ -431,8 +467,8 @@ class Trainer:
             rows = jnp.asarray(rows_np)
             uids = jnp.arange(start, start + rows.shape[0], dtype=jnp.int32)
             mask = jnp.asarray(mask_np)
-            rows, uids = self._put_batch(rows, uids)
-            mask, _ = self._put_batch(mask, uids)
+            rows, uids = self._put_batch(rows, uids, replicate=True)
+            mask, _ = self._put_batch(mask, uids, replicate=True)
             batches.append((start, rows, uids, mask))
         if len(cache) >= 4:  # bound device-memory held by cached splits
             cache.pop(0)
@@ -502,8 +538,9 @@ class Trainer:
                 rows, mask = pack_rows(rows), pack_rows(mask)
             rows, mask = jnp.asarray(rows), jnp.asarray(mask)
             gt = gt_csr.gather(idx)
-            rows, uids = self._put_batch(rows, jnp.asarray(idx))
-            mask, _ = self._put_batch(mask, uids)
+            rows, uids = self._put_batch(rows, jnp.asarray(idx),
+                                         replicate=True)
+            mask, _ = self._put_batch(mask, uids, replicate=True)
             key, sub = jax.random.split(key)
             if pending and pending[0][1].shape != rows.shape:
                 flush()  # trailing partial batch runs alone

@@ -81,7 +81,28 @@ def main():
     assert np.isfinite(loss), loss
 
     multihost.sync_hosts()
-    print(f"WORKER_OK pid={pid} total={total} loss={loss:.6f}", flush=True)
+
+    # -- full fit(): sharded train feed + replicated eval -------------------
+    import scipy.sparse as sp
+    rng2 = np.random.default_rng(3)
+    tr = sp.csr_matrix((rng2.random((n_user, n_item)) < 0.3
+                        ).astype(np.float32))
+    va = sp.csr_matrix((rng2.random((n_user, n_item)) < 0.1
+                        ).astype(np.float32))
+    te = sp.csr_matrix((rng2.random((n_user, n_item)) < 0.1
+                        ).astype(np.float32))
+    cfg2 = Config(backbone="DNN", dims=[8], emb_size=10, steps=5,
+                  batch_size=4 * nproc, sampling_steps=0, epochs=2,
+                  eval_every=1, mesh_dp=nproc, mesh_mp=2, lr=1e-3,
+                  topN=[5, 10])
+    tr2 = Trainer(cfg2, n_user, n_item)
+    tr2.mesh = mesh
+    _, best = tr2.fit(tr, va, te, log=lambda *a, **k: None)
+    recall = [round(float(v), 6) for v in best[1]] if best else None
+
+    multihost.sync_hosts()
+    print(f"WORKER_OK pid={pid} total={total} loss={loss:.6f} "
+          f"fit_recall={recall}", flush=True)
 
 
 if __name__ == "__main__":
