@@ -89,12 +89,11 @@ def params_from_state_dict(sd: Mapping[str, Any], template: Any) -> Any:
     Raises on shape mismatch, unknown names, or template leaves the
     state_dict does not cover (silent partial imports are worse than
     errors)."""
-    import copy
-
     import jax
 
+    # tree_map builds fresh containers and _assign replaces whole leaves,
+    # so the template itself is never mutated
     params = jax.tree_util.tree_map(np.asarray, template)
-    params = copy.deepcopy(params)
     filled = set()
     for name, value in sd.items():
         value = np.asarray(value)
@@ -159,13 +158,12 @@ def import_reference_checkpoint(path: str, cfg, n_user: int, n_item: int):
 
 def main(argv=None):
     import argparse
-    import os
     import sys
 
     import jax
 
     from gdmcf_tpu.config import parse_args
-    from gdmcf_tpu.data.loader import data_load
+    from gdmcf_tpu.data.loader import data_load_dir
     from gdmcf_tpu.train.checkpoint import Checkpointer
     from gdmcf_tpu.train.trainer import Trainer
 
@@ -176,10 +174,7 @@ def main(argv=None):
     ns, rest = conv.parse_known_args(args)
     cfg = parse_args(rest)
 
-    _, _, _, n_user, n_item = data_load(
-        os.path.join(cfg.data_path, "train_list.npy"),
-        os.path.join(cfg.data_path, "valid_list.npy"),
-        os.path.join(cfg.data_path, "test_list.npy"))
+    _, _, _, n_user, n_item = data_load_dir(cfg.data_path)
     params = import_reference_checkpoint(ns.checkpoint, cfg, n_user, n_item)
     trainer = Trainer(cfg, n_user, n_item)
     state = trainer.init_state()

@@ -53,6 +53,14 @@ def data_load(train_path: str, valid_path: str, test_path: str):
     return to_csr(train_list), to_csr(valid_list), to_csr(test_list), n_user, n_item
 
 
+def data_load_dir(data_path: str):
+    """:func:`data_load` over the standard ``{train,valid,test}_list.npy``
+    triple under ``data_path`` (the reference's dataset layout)."""
+    return data_load(os.path.join(data_path, "train_list.npy"),
+                     os.path.join(data_path, "valid_list.npy"),
+                     os.path.join(data_path, "test_list.npy"))
+
+
 class DiffusionDataset:
     """Dense-row view over a CSR interaction matrix with user indices."""
 
@@ -64,15 +72,16 @@ class DiffusionDataset:
         # duplicate (uid, iid) pairs sum to count cells > 1 (the reference's
         # CSR build does the same), and weighted matrices have fractional
         # cells; only EXACTLY-0/1 rows may ride the bit-packed wire format
-        # (ops/bitpack.py packs x != 0, which would silently binarize)
-        self.binary = bool(((mat == 0) | (mat == 1)).all())
+        from gdmcf_tpu.ops.bitpack import is_binary
+        self.binary = is_binary(mat)
 
     @classmethod
     def from_rows(cls, rows: np.ndarray) -> "DiffusionDataset":
         """Wrap an already-dense row matrix (no CSR densification)."""
+        from gdmcf_tpu.ops.bitpack import is_binary
         self = cls.__new__(cls)
         self.rows = np.ascontiguousarray(rows, dtype=np.float32)
-        self.binary = bool(((self.rows == 0) | (self.rows == 1)).all())
+        self.binary = is_binary(self.rows)
         return self
 
     def __len__(self) -> int:
@@ -145,17 +154,16 @@ def epoch_batches(
         # drop_last would train/eval on nothing and then crash; serve the
         # single partial batch instead
         stop = n
-    if packed and not hasattr(dataset, "gather_packed"):
-        from gdmcf_tpu.ops.bitpack import pack_rows
+    if packed:
+        gather = getattr(dataset, "gather_packed", None)
+        if gather is None:
+            from gdmcf_tpu.ops.bitpack import pack_rows
+            gather = lambda idx: pack_rows(dataset.gather(idx))  # noqa: E731
+    else:
+        gather = dataset.gather
     for start in range(0, stop, batch_size):
         idx = order[start:start + batch_size]
-        if packed:
-            x = (dataset.gather_packed(idx)
-                 if hasattr(dataset, "gather_packed")
-                 else pack_rows(dataset.gather(idx)))
-        else:
-            x = dataset.gather(idx)
-        yield x, idx.astype(np.int32)
+        yield gather(idx), idx.astype(np.int32)
 
 
 def generate_synthetic_dataset(

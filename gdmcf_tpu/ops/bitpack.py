@@ -19,6 +19,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def is_binary(a: np.ndarray) -> bool:
+    """True iff every cell is exactly 0 or 1 — the packability predicate
+    (``pack_rows`` packs ``x != 0``, which would silently binarize counts or
+    fractional weights)."""
+    a = np.asarray(a)
+    return bool(((a == 0) | (a == 1)).all())
+
+
 def pack_rows(x: np.ndarray) -> np.ndarray:
     """Host-side: binary [..., n] (any dtype) -> uint8 [..., ceil(n/8)],
     little bit order (element ``8*j + i`` is bit ``i`` of byte ``j``)."""

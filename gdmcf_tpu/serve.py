@@ -105,7 +105,7 @@ def main(argv=None):
     import time
 
     from gdmcf_tpu.config import parse_args
-    from gdmcf_tpu.data.loader import data_load
+    from gdmcf_tpu.data.loader import data_load_dir
 
     import sys
     args = argv if argv is not None else sys.argv[1:]
@@ -117,10 +117,7 @@ def main(argv=None):
     ns, rest = serve_flags.parse_known_args(args)
     cfg = parse_args(rest)
 
-    train, valid, test, n_user, n_item = data_load(
-        os.path.join(cfg.data_path, "train_list.npy"),
-        os.path.join(cfg.data_path, "valid_list.npy"),
-        os.path.join(cfg.data_path, "test_list.npy"))
+    train, valid, test, n_user, n_item = data_load_dir(cfg.data_path)
 
     ckpt = ns.ckpt_dir_serve or cfg.ckpt_dir
     if ckpt and os.path.isdir(ckpt):

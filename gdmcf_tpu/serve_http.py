@@ -107,7 +107,7 @@ def main(argv=None):
     import sys
 
     from gdmcf_tpu.config import parse_args
-    from gdmcf_tpu.data.loader import data_load
+    from gdmcf_tpu.data.loader import data_load_dir
     from gdmcf_tpu.serve import Recommender
     from gdmcf_tpu.train.trainer import Trainer
 
@@ -121,10 +121,7 @@ def main(argv=None):
     ns, rest = http_flags.parse_known_args(args)
     cfg = parse_args(rest)
 
-    train, _, _, n_user, n_item = data_load(
-        os.path.join(cfg.data_path, "train_list.npy"),
-        os.path.join(cfg.data_path, "valid_list.npy"),
-        os.path.join(cfg.data_path, "test_list.npy"))
+    train, _, _, n_user, n_item = data_load_dir(cfg.data_path)
 
     ckpt = ns.ckpt_dir_serve or cfg.ckpt_dir
     if ckpt and os.path.isdir(ckpt):

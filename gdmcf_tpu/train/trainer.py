@@ -294,14 +294,13 @@ class Trainer:
     def _eval_step_impl(self, params, x, index, mask, key,
                         sampling_steps: int, top_k: int):
         """p_sample -> mask seen items -> device top-k (ref main.py:288-305)."""
+        # bit-packed payloads (ops/bitpack.py; serve ships 32x less wire per
+        # recommend() chunk, eval caches hold 32x less HBM)
+        from gdmcf_tpu.ops.bitpack import unpack_rows
         if x.dtype == jnp.uint8:
-            # bit-packed request payload (ops/bitpack.py; used by serve.py —
-            # 32x less wire per recommend() chunk)
-            from gdmcf_tpu.ops.bitpack import unpack_rows
             self._check_packed_width(x)
             x = unpack_rows(x, self.n_item)
         if mask.dtype == jnp.uint8:
-            from gdmcf_tpu.ops.bitpack import unpack_rows
             self._check_packed_width(mask)
             mask = unpack_rows(mask, self.n_item)
         with jax.default_matmul_precision(self._matmul_precision()):
@@ -449,13 +448,12 @@ class Trainer:
         stop = (n // bs) * bs if cfg.drop_last else n
         if stop == 0 and n > 0:
             stop = n  # serve the single partial batch (see epoch_batches)
-        def _binary(a):
-            return bool(((a == 0) | (a == 1)).all())
+        from gdmcf_tpu.ops.bitpack import is_binary
 
         # cache bit-packed when possible: 32x less HBM held across training
         # and 32x less one-time upload (_eval_step unpacks in-program)
-        pack = (cfg.wire_format == "packed" and _binary(eval_rows)
-                and _binary(mask_matrix))
+        pack = (cfg.wire_format == "packed" and is_binary(eval_rows)
+                and is_binary(mask_matrix))
         if pack:
             from gdmcf_tpu.ops.bitpack import pack_rows
         batches = []
