@@ -143,10 +143,14 @@ class Config:
     # bernoulli/normal draws this workload makes)
     rng_impl: str = "threefry2x32"
     # fuse K optimizer steps into one compiled program (lax.scan over stacked
-    # batches): identical math to K sequential steps, K-fold fewer dispatches
+    # batches): identical math to K sequential steps (pinned by
+    # test_fused_multi_step_equals_sequential), K-fold fewer dispatches
     # (each launch costs ~2.5 ms through the dev relay; also a real win on
-    # hardware). The per-epoch remainder runs as single steps.
-    train_steps_per_call: int = 1
+    # hardware). The per-epoch remainder runs as single steps. Default 8:
+    # a certain dispatch-count win anywhere, small staging footprint now
+    # that batches ride the packed wire (bench.py uses the measured-best
+    # k=100 for pure-throughput numbers).
+    train_steps_per_call: int = 8
     # host-side batch prefetch depth (the reference's DataLoader num_workers
     # analog, ref main.py:155): a background thread runs C++/numpy batch
     # assembly this many batches ahead of the train loop. 0 disables.
