@@ -78,6 +78,52 @@ def test_import_real_reference_state_dict(backbone):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_import_flagship_gcn_mapping():
+    """The GCN-path names (gcn_model.convK.lin.weight / .bias, sumW) map
+    onto the flagship params. The real class needs torch_geometric (absent
+    here), so the state_dict is built synthetically with the reference's
+    exact parameter names (ref DNN.py:1109-1162, LayerGCN :1077-1092)."""
+    cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[16], emb_size=10,
+                 steps=5)
+    model = build_model(cfg, N_USER, N_ITEM)
+    template = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+
+    def t(shape):
+        return rng.standard_normal(shape).astype(np.float32)
+
+    p = template
+    sd = {
+        "emb_layer.weight": t(np.asarray(p["emb_layer"]["w"]).T.shape),
+        "emb_layer.bias": t(p["emb_layer"]["b"].shape),
+        "in_layers.0.weight": t(np.asarray(p["in_layers"][0]["w"]).T.shape),
+        "in_layers.0.bias": t(p["in_layers"][0]["b"].shape),
+        "in_layers2.0.weight": t(np.asarray(p["in_layers2"][0]["w"]).T.shape),
+        "in_layers2.0.bias": t(p["in_layers2"][0]["b"].shape),
+        "out_layers.0.weight": t((7, 7)),   # bypassed in the reference:
+        "out_layers.0.bias": t((7,)),       # skipped, any shape accepted
+        "embedding_item.weight": t(p["embedding_item"].shape),
+        "embedding_user.weight": t(p["embedding_user"].shape),
+        "gcn_model.conv1.lin.weight": t(np.asarray(p["gcn"]["conv1"]["w"]).T.shape),
+        "gcn_model.conv1.bias": t(p["gcn"]["conv1"]["b"].shape),
+        "gcn_model.conv2.lin.weight": t(np.asarray(p["gcn"]["conv2"]["w"]).T.shape),
+        "gcn_model.conv2.bias": t(p["gcn"]["conv2"]["b"].shape),
+        "sumW": np.float32(0.7),
+    }
+    params = params_from_state_dict(sd, template)
+    np.testing.assert_allclose(np.asarray(params["gcn"]["conv1"]["w"]),
+                               sd["gcn_model.conv1.lin.weight"].T)
+    np.testing.assert_allclose(np.asarray(params["sumW"]), 0.7)
+    # imported params must run through the flagship forward
+    x = jnp.asarray(rng.standard_normal((B, N_ITEM)), dtype=jnp.float32)
+    x_bin = (rng.random((B, N_ITEM)) < 0.3).astype(np.float32)
+    x_u = jnp.asarray(np.stack([1.0 - x_bin, x_bin], axis=-1))
+    out, _ = model.apply(params, x, jnp.zeros((B,), jnp.int32), x_u,
+                         index=jnp.arange(B, dtype=jnp.int32), graph=x_u,
+                         train=False, rng=None)
+    assert out.shape == (B, N_ITEM) and bool(np.isfinite(out).all())
+
+
 def test_import_rejects_shape_mismatch():
     cfg = Config(backbone="DNN", dims=[16], emb_size=10, steps=5)
     model = build_model(cfg, N_USER, N_ITEM)
