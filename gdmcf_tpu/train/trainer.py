@@ -265,12 +265,13 @@ class Trainer:
             depth=self.cfg.prefetch_batches)
         for x, idx in batches:
             # packed batches ship as bits; _train_step_impl unpacks (and
-            # block-onehots) inside the compiled program
+            # block-onehots) inside the compiled program. x stays a host
+            # array until _put_batch places it (converting earlier would
+            # cost a device->host round trip on the multi-host path)
             if offset:
                 idx = idx + np.int32(offset)  # slice position -> global id
-            x = jnp.asarray(x)
             if self.cfg.OneHotMatrix == 1 and not pack:
-                x = self._to_block_onehot(x)
+                x = self._to_block_onehot(jnp.asarray(x))
             pending.append(self._put_batch(x, idx))
             if k > 1 and len(pending) == k:
                 xs = jnp.stack([p[0] for p in pending])
@@ -462,11 +463,11 @@ class Trainer:
             mask_np = mask_matrix[start:start + rows_np.shape[0]]
             if pack:
                 rows_np, mask_np = pack_rows(rows_np), pack_rows(mask_np)
-            rows = jnp.asarray(rows_np)
-            uids = jnp.arange(start, start + rows.shape[0], dtype=jnp.int32)
-            mask = jnp.asarray(mask_np)
-            rows, uids = self._put_batch(rows, uids, replicate=True)
-            mask, _ = self._put_batch(mask, uids, replicate=True)
+            # host arrays go straight to _put_batch (an early jnp.asarray
+            # would cost a device->host round trip on the multi-host path)
+            uids = np.arange(start, start + rows_np.shape[0], dtype=np.int32)
+            rows, uids = self._put_batch(rows_np, uids, replicate=True)
+            mask, _ = self._put_batch(mask_np, uids, replicate=True)
             batches.append((start, rows, uids, mask))
         if len(cache) >= 4:  # bound device-memory held by cached splits
             cache.pop(0)
@@ -534,10 +535,8 @@ class Trainer:
             mask = union(mask_csrs, idx)
             if pack:  # union() output is binary (clipped); ship bits
                 rows, mask = pack_rows(rows), pack_rows(mask)
-            rows, mask = jnp.asarray(rows), jnp.asarray(mask)
             gt = gt_csr.gather(idx)
-            rows, uids = self._put_batch(rows, jnp.asarray(idx),
-                                         replicate=True)
+            rows, uids = self._put_batch(rows, idx, replicate=True)
             mask, _ = self._put_batch(mask, uids, replicate=True)
             key, sub = jax.random.split(key)
             if pending and pending[0][1].shape != rows.shape:
