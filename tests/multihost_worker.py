@@ -97,8 +97,23 @@ def main():
                   topN=[5, 10])
     tr2 = Trainer(cfg2, n_user, n_item)
     tr2.mesh = mesh
-    _, best = tr2.fit(tr, va, te, log=lambda *a, **k: None)
+    fit_state, best = tr2.fit(tr, va, te, log=lambda *a, **k: None)
     recall = [round(float(v), 6) for v in best[1]] if best else None
+
+    # -- distributed checkpoint: save sharded global state, restore it -----
+    ckpt_dir = os.environ.get("CKPT_DIR")
+    if ckpt_dir:
+        from gdmcf_tpu.train.checkpoint import Checkpointer
+        ck = Checkpointer(ckpt_dir)
+        ck.save(fit_state, extra={"best_epoch": 1})
+        template = tr2.init_state()
+        restored = ck.restore(template)
+        for a, b in zip(jax.tree_util.tree_leaves(fit_state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            da = np.asarray(jax.device_get(a))
+            db = np.asarray(jax.device_get(b))
+            assert np.array_equal(da, db)
+        print(f"CKPT_OK pid={pid} step={int(restored.step)}", flush=True)
 
     multihost.sync_hosts()
     print(f"WORKER_OK pid={pid} total={total} loss={loss:.6f} "

@@ -23,7 +23,8 @@ def _free_port() -> int:
 
 
 @pytest.mark.parametrize("nproc", [2])
-def test_two_process_distributed_smoke(nproc):
+def test_two_process_distributed_smoke(nproc, tmp_path):
+    ckpt_dir = str(tmp_path / "ckpt")
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     procs = []
@@ -33,6 +34,7 @@ def test_two_process_distributed_smoke(nproc):
         env["JAX_PLATFORMS"] = "cpu"
         env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
         env["COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["CKPT_DIR"] = ckpt_dir
         env["NUM_PROCESSES"] = str(nproc)
         env["PROCESS_ID"] = str(pid)
         env.pop("XLA_FLAGS", None)  # worker sets its own device count
@@ -58,3 +60,6 @@ def test_two_process_distributed_smoke(nproc):
     # and fit()'s replicated eval must produce identical metrics everywhere
     assert len(set(losses)) == 1, losses
     assert len(set(recalls)) == 1 and recalls[0] != "None", recalls
+    # distributed checkpoint save/restore ran on every host
+    for pid, out in enumerate(outs):
+        assert f"CKPT_OK pid={pid}" in out, out
