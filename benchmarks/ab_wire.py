@@ -32,7 +32,6 @@ def main():
 
     from gdmcf_tpu.config import Config
     from gdmcf_tpu.data.loader import DiffusionDataset
-    from gdmcf_tpu.data.native import NativeCSR
     from gdmcf_tpu.train.trainer import Trainer
     import scipy.sparse as sp
 

@@ -137,7 +137,16 @@ def _load_state_dict(path: str) -> Mapping[str, np.ndarray]:
         from pathlib import Path
         sys.path.insert(0, str(Path(__file__).resolve().parents[1]
                                / "benchmarks"))
-        from reference_runner import load_reference
+        try:
+            from reference_runner import load_reference
+        except ModuleNotFoundError as e:
+            raise ModuleNotFoundError(
+                "this .pth is a whole-module pickle needing the reference "
+                "class definitions, loaded via benchmarks/reference_runner.py"
+                " — present in a source checkout but not in the installed "
+                "package. Run from a source checkout, or re-export the "
+                "checkpoint as a state_dict (torch.save(model.state_dict(), "
+                "...)) or .npz and import that instead.") from e
         load_reference()
         obj = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(obj, "state_dict"):

@@ -72,6 +72,10 @@ def local_row_range(n_rows: int) -> range:
     nproc = jax.process_count()
     pid = jax.process_index()
     base = n_rows // nproc
+    if base == 0:
+        raise ValueError(
+            f"{n_rows} rows cannot shard over {nproc} processes: every host "
+            "would get an empty shard and silently train on nothing")
     return range(pid * base, (pid + 1) * base)
 
 

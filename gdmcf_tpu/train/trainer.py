@@ -138,6 +138,15 @@ class Trainer:
         nproc = jax.process_count()
         gx_shape = (x.shape[0] * nproc,) + x.shape[1:]
         gi_shape = (idx.shape[0] * nproc,) + idx.shape[1:]
+        dp = int(dict(self.mesh.shape).get("dp", 1))
+        if gx_shape[0] % dp or dp % nproc:
+            # compatible_spec would silently DROP the dp axis, and a
+            # replicated spec demands the full global array from every
+            # process — fail with the actual contract instead
+            raise ValueError(
+                f"global batch dim {gx_shape[0]} (local {x.shape[0]} x "
+                f"{nproc} processes) must divide evenly over mesh dp={dp}, "
+                f"and dp must be a multiple of the process count")
         xs = compatible_spec(P("dp", "mp"), gx_shape, self.mesh)
         is_ = compatible_spec(P("dp"), gi_shape, self.mesh)
         return (jax.make_array_from_process_local_data(
@@ -164,8 +173,13 @@ class Trainer:
             from gdmcf_tpu.ops.bitpack import unpack_rows
             self._check_packed_width(x)
             x = unpack_rows(x, self.n_item)
-            if self.cfg.OneHotMatrix == 1:
-                x = self._to_block_onehot(x)
+        if self.cfg.OneHotMatrix == 1 and x.shape[-1] == self.n_item:
+            # block one-hot INSIDE the program (mirrors _eval_step_body):
+            # host-side assembly would block-onehot each process's LOCAL
+            # slice on multi-host, concatenating per-process blocks instead
+            # of building the block of the global batch. Pre-onehot'd
+            # callers are detected by shape ([B+n, B+n] last dim != n_item).
+            x = self._to_block_onehot(x)
         key, step_key = jax.random.split(state.key)
 
         def loss_fn(params):
@@ -242,7 +256,8 @@ class Trainer:
         bs = self.cfg.batch_size
         offset = 0
         nproc = jax.process_count()
-        if self.mesh is not None and nproc > 1:
+        multihost = self.mesh is not None and nproc > 1
+        if multihost:
             # multi-host: each process trains on its disjoint user shard
             # with the LOCAL slice of the global batch; _put_batch assembles
             # the global dp batch from the per-process shards
@@ -251,17 +266,33 @@ class Trainer:
             if bs % nproc:
                 raise ValueError(f"batch_size {bs} must divide evenly over "
                                  f"{nproc} processes")
+            dp = int(dict(self.mesh.shape).get("dp", 1))
+            if dp % nproc or bs % dp:
+                raise ValueError(
+                    f"multi-host feed needs mesh dp ({dp}) to be a multiple "
+                    f"of process_count ({nproc}) and batch_size ({bs}) to "
+                    f"divide evenly over dp: each host contributes a "
+                    "contiguous 1/nproc slice of the dp-sharded global batch")
             rows = local_row_range(len(dataset))
             dataset = RowSlice(dataset, rows)
             offset = rows.start
             bs //= nproc
+            if len(dataset) < bs:
+                raise ValueError(
+                    f"local shard has {len(dataset)} rows < local batch size "
+                    f"{bs}: no full global batch can be assembled (reduce "
+                    "batch_size or host count)")
         pack = (self.cfg.wire_format == "packed"
                 and getattr(dataset, "binary", False))
         from gdmcf_tpu.data.prefetch import prefetched
         batches = prefetched(
+            # multi-host always drops the trailing partial batch: a partial
+            # global batch is usually not dp-divisible and every host must
+            # run the same number of collective steps
             epoch_batches(dataset, bs, rng,
                           shuffle=self.cfg.shuffle,
-                          drop_last=self.cfg.drop_last, packed=pack),
+                          drop_last=self.cfg.drop_last or multihost,
+                          packed=pack),
             depth=self.cfg.prefetch_batches)
         for x, idx in batches:
             # packed batches ship as bits; _train_step_impl unpacks (and
@@ -270,8 +301,6 @@ class Trainer:
             # cost a device->host round trip on the multi-host path)
             if offset:
                 idx = idx + np.int32(offset)  # slice position -> global id
-            if self.cfg.OneHotMatrix == 1 and not pack:
-                x = self._to_block_onehot(jnp.asarray(x))
             pending.append(self._put_batch(x, idx))
             if k > 1 and len(pending) == k:
                 xs = jnp.stack([p[0] for p in pending])
@@ -465,9 +494,12 @@ class Trainer:
                 rows_np, mask_np = pack_rows(rows_np), pack_rows(mask_np)
             # host arrays go straight to _put_batch (an early jnp.asarray
             # would cost a device->host round trip on the multi-host path)
-            uids = np.arange(start, start + rows_np.shape[0], dtype=np.int32)
-            rows, uids = self._put_batch(rows_np, uids, replicate=True)
-            mask, _ = self._put_batch(mask_np, uids, replicate=True)
+            uids_np = np.arange(start, start + rows_np.shape[0],
+                                dtype=np.int32)
+            rows, uids = self._put_batch(rows_np, uids_np, replicate=True)
+            # second put reuses the HOST uids: the device array would cost a
+            # device->host round trip inside the multi-host replicate branch
+            mask, _ = self._put_batch(mask_np, uids_np, replicate=True)
             batches.append((start, rows, uids, mask))
         if len(cache) >= 4:  # bound device-memory held by cached splits
             cache.pop(0)
@@ -537,7 +569,7 @@ class Trainer:
                 rows, mask = pack_rows(rows), pack_rows(mask)
             gt = gt_csr.gather(idx)
             rows, uids = self._put_batch(rows, idx, replicate=True)
-            mask, _ = self._put_batch(mask, uids, replicate=True)
+            mask, _ = self._put_batch(mask, idx, replicate=True)
             key, sub = jax.random.split(key)
             if pending and pending[0][1].shape != rows.shape:
                 flush()  # trailing partial batch runs alone

@@ -82,6 +82,38 @@ def main():
 
     multihost.sync_hosts()
 
+    # -- OneHotMatrix==1 over the f32 wire (full train_epoch path): the
+    # block one-hot must assemble from the GLOBAL batch inside the program —
+    # host-side assembly would concatenate per-process block matrices
+    from gdmcf_tpu.data.loader import DiffusionDataset
+    cfg_oh = Config(backbone="DNN", dims=[8], emb_size=10, steps=5,
+                    batch_size=local_b * nproc, sampling_steps=0,
+                    OneHotMatrix=1, wire_format="f32", lr=1e-3,
+                    mesh_dp=nproc, mesh_mp=2)
+    tr_oh = Trainer(cfg_oh, n_user, n_item)
+    tr_oh.mesh = mesh
+    s_oh = tr_oh.init_state()
+    ds_oh = DiffusionDataset.from_rows(all_x)
+    s_oh, oh_loss = tr_oh.train_epoch(s_oh, ds_oh, np.random.default_rng(5))
+    assert np.isfinite(oh_loss), oh_loss
+
+    # -- guard rails: misconfigurations fail loudly, not silently -----------
+    try:  # empty per-host shards
+        multihost.local_row_range(nproc - 1)
+        raise AssertionError("local_row_range accepted empty shards")
+    except ValueError:
+        pass
+    from jax.sharding import Mesh
+    tr_oh.mesh = Mesh(np.asarray(jax.devices()).reshape(1, 2 * nproc),
+                      ("dp", "mp"))  # dp=1 cannot host per-process shards
+    try:
+        tr_oh._put_batch(x_local, idx_local)
+        raise AssertionError("_put_batch accepted dp=1 multi-host feed")
+    except ValueError:
+        pass
+
+    multihost.sync_hosts()
+
     # -- full fit(): sharded train feed + replicated eval -------------------
     import scipy.sparse as sp
     rng2 = np.random.default_rng(3)
@@ -117,7 +149,7 @@ def main():
 
     multihost.sync_hosts()
     print(f"WORKER_OK pid={pid} total={total} loss={loss:.6f} "
-          f"fit_recall={recall}", flush=True)
+          f"oh_loss={oh_loss:.6f} fit_recall={recall}", flush=True)
 
 
 if __name__ == "__main__":

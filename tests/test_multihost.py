@@ -54,10 +54,12 @@ def test_two_process_distributed_smoke(nproc, tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"WORKER_OK pid={pid}" in out, out
-        losses.append(re.search(r"loss=([-\d.einf]+)", out).group(1))
+        losses.append((re.search(r" loss=([-\d.einf]+)", out).group(1),
+                       re.search(r"oh_loss=([-\d.einf]+)", out).group(1)))
         recalls.append(re.search(r"fit_recall=(\[.*?\]|None)", out).group(1))
-    # every host must compute the SAME global loss from its own data shard,
-    # and fit()'s replicated eval must produce identical metrics everywhere
+    # every host must compute the SAME global loss from its own data shard
+    # (plain and block-one-hot paths), and fit()'s replicated eval must
+    # produce identical metrics everywhere
     assert len(set(losses)) == 1, losses
     assert len(set(recalls)) == 1 and recalls[0] != "None", recalls
     # distributed checkpoint save/restore ran on every host
