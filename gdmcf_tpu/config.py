@@ -165,6 +165,10 @@ class Config:
     # fuse K eval batches into one compiled program (lax.scan): identical
     # results (same per-batch key order), K-fold fewer eval dispatches
     eval_batches_per_call: int = 1
+    # multi-host eval is dp-sharded by default (each host scores 1/nproc of
+    # the users, metric sums psum-reduced bit-exactly across hosts); set
+    # True to force the replicated fallback (every host evaluates all rows)
+    eval_replicated: bool = False
     # checkpointing
     ckpt_dir: Optional[str] = None
     resume: bool = False

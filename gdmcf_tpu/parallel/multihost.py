@@ -79,6 +79,33 @@ def local_row_range(n_rows: int) -> range:
     return range(pid * base, (pid + 1) * base)
 
 
+def allgather_host_vectors(vec: np.ndarray) -> np.ndarray:
+    """Bit-exact all-gather of one small host-local array per process:
+    returns ``[nproc, *vec.shape]`` stacked in process-index order.
+
+    The payload rides the wire as raw bytes (uint8 view), so float64 metric
+    sums survive exactly even on backends without f64 arithmetic. Collective
+    — every process must call it with an equal-shape/dtype array."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    vec = np.ascontiguousarray(vec)
+    nproc = jax.process_count()
+    if nproc == 1:
+        return vec[None]
+    payload = vec.view(np.uint8).reshape(1, -1)
+    nloc = jax.local_device_count()
+    # process-major device order => global row block p belongs to process p
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    mesh = Mesh(np.asarray(devs), axis_names=("all",))
+    local = np.ascontiguousarray(np.repeat(payload, nloc, axis=0))
+    g = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("all")), local,
+        (nproc * nloc, payload.shape[1]))
+    gathered = jax.jit(lambda x: x,
+                       out_shardings=NamedSharding(mesh, P()))(g)
+    rows = np.asarray(jax.device_get(gathered))[::nloc]
+    return rows.view(vec.dtype).reshape((nproc,) + vec.shape)
+
+
 def sync_hosts(name: str = "barrier", devices=None) -> None:
     """Cross-host barrier via a tiny psum (safe on single host too)."""
     from jax.sharding import PartitionSpec as P

@@ -82,10 +82,12 @@ class Trainer:
                 "p_sample, gaussian_diffusion.py:669)", stacklevel=2)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._train_multi = jax.jit(self._train_multi_impl, donate_argnums=(0,))
-        self._eval_step = jax.jit(self._eval_step_impl,
-                                  static_argnames=("sampling_steps", "top_k"))
-        self._eval_multi = jax.jit(self._eval_multi_impl,
-                                   static_argnames=("sampling_steps", "top_k"))
+        self._eval_step = jax.jit(
+            self._eval_step_impl,
+            static_argnames=("sampling_steps", "top_k", "shard_out"))
+        self._eval_multi = jax.jit(
+            self._eval_multi_impl,
+            static_argnames=("sampling_steps", "top_k", "shard_out"))
 
     # ------------------------------------------------------------------
     def init_state(self) -> TrainState:
@@ -153,6 +155,47 @@ class Trainer:
                     NamedSharding(self.mesh, xs), x, gx_shape),
                 jax.make_array_from_process_local_data(
                     NamedSharding(self.mesh, is_), idx, gi_shape))
+
+    def _eval_shardable(self, b: int) -> bool:
+        """True when a size-``b`` eval batch dp-shards across hosts (each
+        host scores its 1/nproc user slice; metric sums reduce bit-exactly
+        at the end) instead of every host redundantly scoring all rows."""
+        if self.mesh is None or jax.process_count() <= 1:
+            return False
+        if self.cfg.eval_replicated:
+            return False
+        nproc = jax.process_count()
+        dp = int(dict(self.mesh.shape).get("dp", 1))
+        return b % nproc == 0 and b % dp == 0 and dp % nproc == 0
+
+    @staticmethod
+    def _local_blocks(out, batch_axis: int):
+        """Yield ``(row_slice, np_block)`` for this host's deduped
+        addressable blocks of a dp-sharded eval output. ``row_slice``
+        indexes the batch axis in global-batch coordinates (blocks are
+        replicated across the mp axis — one copy per index is yielded)."""
+        seen = set()
+        for s in out.addressable_shards:
+            sl = s.index[batch_axis]
+            start = sl.start or 0
+            stop = sl.stop if sl.stop is not None else out.shape[batch_axis]
+            if (start, stop) in seen:
+                continue
+            seen.add((start, stop))
+            yield slice(start, stop), np.asarray(jax.device_get(s.data))
+
+    @staticmethod
+    def _reduce_metric_acc(acc):
+        """Sum a MetricAccumulator across hosts (bit-exact f64 byte
+        transport) and return the global result. Collective — every host
+        must call it after accumulating its disjoint share."""
+        from gdmcf_tpu.parallel.multihost import allgather_host_vectors
+        payload = np.concatenate([acc.sums.ravel(),
+                                  np.asarray([acc.n_users], np.float64)])
+        total = allgather_host_vectors(payload).sum(axis=0)
+        acc.sums = total[:-1].reshape(acc.sums.shape)
+        acc.n_users = int(round(total[-1]))
+        return acc.result()
 
     def num_params(self, state: TrainState) -> int:
         return param_count(state.params)
@@ -322,7 +365,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _eval_step_impl(self, params, x, index, mask, key,
-                        sampling_steps: int, top_k: int):
+                        sampling_steps: int, top_k: int,
+                        shard_out: bool = False):
         """p_sample -> mask seen items -> device top-k (ref main.py:288-305)."""
         # bit-packed payloads (ops/bitpack.py; serve ships 32x less wire per
         # recommend() chunk, eval caches hold 32x less HBM)
@@ -337,11 +381,14 @@ class Trainer:
             out = self._eval_step_body(params, x, index, mask, key,
                                        sampling_steps, top_k)
         if self.mesh is not None and jax.process_count() > 1:
-            # multi-host eval is replicated (see _put_batch): pin the output
-            # replicated too so every host can read the full result
+            # shard_out=True: dp-sharded eval — each host reads only its
+            # addressable row blocks (_local_blocks) and accumulates metrics
+            # for them. shard_out=False: replicated eval — pin the output
+            # replicated so every host can read the full result.
             from jax.sharding import NamedSharding, PartitionSpec as P
+            spec = P("dp") if shard_out else P()
             out = jax.lax.with_sharding_constraint(
-                out, NamedSharding(self.mesh, P()))
+                out, NamedSharding(self.mesh, spec))
         return out
 
     def _eval_step_body(self, params, x, index, mask, key,
@@ -384,7 +431,8 @@ class Trainer:
         return idx
 
     def _eval_multi_impl(self, params, xs, idxs, masks, keys,
-                         sampling_steps: int, top_k: int):
+                         sampling_steps: int, top_k: int,
+                         shard_out: bool = False):
         """K eval batches fused into one program (lax.scan over stacked
         batches) — same math as K _eval_step calls, K-fold fewer dispatches.
         The large-catalog eval loop (e.g. 97 batches at the 100k-user
@@ -393,7 +441,8 @@ class Trainer:
         def body(_, inp):
             x, idx, mask, key = inp
             out = self._eval_step_impl(params, x, idx, mask, key,
-                                       sampling_steps, top_k)
+                                       sampling_steps, top_k,
+                                       shard_out=shard_out)
             return None, out
 
         _, idx = jax.lax.scan(body, None, (xs, idxs, masks, keys))
@@ -415,6 +464,15 @@ class Trainer:
         all_idx = []
         kept_users = []
         top_k = int(topn[-1])
+        # dp-sharded multi-host eval: each host accumulates metric sums for
+        # its own row blocks only; the sums reduce across hosts at the end.
+        # Replicated batches (e.g. a non-divisible trailing partial) are
+        # counted once, by the main process.
+        use_acc = any(c[4] for c in cached)
+        if use_acc:
+            from gdmcf_tpu.ops.metrics import MetricAccumulator
+            from gdmcf_tpu.parallel.multihost import is_main_process
+            acc = MetricAccumulator(topn)
         # one key per batch, split in batch order — identical results whether
         # batches run singly or fused (tested)
         subs = []
@@ -425,13 +483,16 @@ class Trainer:
         i = 0
         while i < len(cached):
             group = cached[i:i + k_fuse]
-            # fuse the equal-shape PREFIX of the window (a trailing partial
-            # batch only trims the group, it doesn't un-fuse the full ones)
+            # fuse the equal-shape, same-placement PREFIX of the window (a
+            # trailing partial batch only trims the group, it doesn't
+            # un-fuse the full ones)
             n_eq = 1
             while (n_eq < len(group)
-                   and group[n_eq][1].shape == group[0][1].shape):
+                   and group[n_eq][1].shape == group[0][1].shape
+                   and group[n_eq][4] == group[0][4]):
                 n_eq += 1
             group = group[:n_eq]
+            sharded = group[0][4]
             if k_fuse > 1 and len(group) > 1:
                 xs = jnp.stack([g[1] for g in group])
                 us = jnp.stack([g[2] for g in group])
@@ -439,19 +500,43 @@ class Trainer:
                 ks = jnp.stack(subs[i:i + len(group)])
                 idx = self._eval_multi(state.params, xs, us, ms, ks,
                                        sampling_steps=cfg.sampling_steps,
-                                       top_k=top_k)
-                for j, (start, rows, _u, _m) in enumerate(group):
-                    all_idx.append(np.asarray(idx[j]))
-                    kept_users.append(np.arange(start, start + rows.shape[0]))
+                                       top_k=top_k, shard_out=sharded)
+                if sharded:
+                    for sl, block in self._local_blocks(idx, batch_axis=1):
+                        for j, (start, *_r) in enumerate(group):
+                            users = np.arange(start + sl.start,
+                                              start + sl.stop)
+                            acc.add(gt_matrix[users], block[j])
+                else:
+                    for j, (start, rows, *_r) in enumerate(group):
+                        users = np.arange(start, start + rows.shape[0])
+                        if use_acc:
+                            if is_main_process():
+                                acc.add(gt_matrix[users], np.asarray(idx[j]))
+                        else:
+                            all_idx.append(np.asarray(idx[j]))
+                            kept_users.append(users)
                 i += len(group)
             else:
-                start, rows, uids, mask = cached[i]
+                start, rows, uids, mask, _s = cached[i]
                 idx = self._eval_step(state.params, rows, uids, mask, subs[i],
                                       sampling_steps=cfg.sampling_steps,
-                                      top_k=top_k)
-                all_idx.append(np.asarray(idx))
-                kept_users.append(np.arange(start, start + rows.shape[0]))
+                                      top_k=top_k, shard_out=sharded)
+                if sharded:
+                    for sl, block in self._local_blocks(idx, batch_axis=0):
+                        users = np.arange(start + sl.start, start + sl.stop)
+                        acc.add(gt_matrix[users], block)
+                else:
+                    users = np.arange(start, start + rows.shape[0])
+                    if use_acc:
+                        if is_main_process():
+                            acc.add(gt_matrix[users], np.asarray(idx))
+                    else:
+                        all_idx.append(np.asarray(idx))
+                        kept_users.append(users)
                 i += 1
+        if use_acc:
+            return self._reduce_metric_acc(acc)
         pred = np.concatenate(all_idx, axis=0)
         users = np.concatenate(kept_users)
         return compute_topn_accuracy(gt_matrix[users], pred, topn)
@@ -488,19 +573,31 @@ class Trainer:
             from gdmcf_tpu.ops.bitpack import pack_rows
         batches = []
         for start in range(0, stop, bs):
-            rows_np = eval_rows[start:start + bs]
-            mask_np = mask_matrix[start:start + rows_np.shape[0]]
+            b = min(bs, stop - start)
+            sharded = self._eval_shardable(b)
+            if sharded:
+                # dp-sharded multi-host batch: this host uploads only its
+                # 1/nproc slice; _put_batch assembles the global dp batch
+                lb = b // jax.process_count()
+                lo = start + jax.process_index() * lb
+                rows_np = eval_rows[lo:lo + lb]
+                mask_np = mask_matrix[lo:lo + lb]
+                uids_np = np.arange(lo, lo + lb, dtype=np.int32)
+            else:
+                rows_np = eval_rows[start:start + bs]
+                mask_np = mask_matrix[start:start + rows_np.shape[0]]
+                uids_np = np.arange(start, start + rows_np.shape[0],
+                                    dtype=np.int32)
             if pack:
                 rows_np, mask_np = pack_rows(rows_np), pack_rows(mask_np)
             # host arrays go straight to _put_batch (an early jnp.asarray
-            # would cost a device->host round trip on the multi-host path)
-            uids_np = np.arange(start, start + rows_np.shape[0],
-                                dtype=np.int32)
-            rows, uids = self._put_batch(rows_np, uids_np, replicate=True)
-            # second put reuses the HOST uids: the device array would cost a
-            # device->host round trip inside the multi-host replicate branch
-            mask, _ = self._put_batch(mask_np, uids_np, replicate=True)
-            batches.append((start, rows, uids, mask))
+            # would cost a device->host round trip on the multi-host path);
+            # the second put reuses the HOST uids for the same reason
+            rows, uids = self._put_batch(rows_np, uids_np,
+                                         replicate=not sharded)
+            mask, _ = self._put_batch(mask_np, uids_np,
+                                      replicate=not sharded)
+            batches.append((start, rows, uids, mask, sharded))
         if len(cache) >= 4:  # bound device-memory held by cached splits
             cache.pop(0)
         cache.append((eval_rows, mask_matrix, cfg.batch_size, batches))
@@ -527,6 +624,15 @@ class Trainer:
             stop = n  # serve the single partial batch (see epoch_batches)
         acc = MetricAccumulator(topn)
         top_k = int(topn[-1])
+        starts = list(range(0, stop, bs))
+        # dp-sharded multi-host eval (see _eval_shardable): each host scores
+        # and accumulates 1/nproc of every shardable batch; non-shardable
+        # batches (a non-divisible trailing partial) run replicated and are
+        # counted once, by the main process; sums reduce at the end.
+        use_reduce = any(self._eval_shardable(min(s + bs, n) - s)
+                         for s in starts)
+        if use_reduce:
+            from gdmcf_tpu.parallel.multihost import is_main_process
 
         def union(csrs, idx):
             out = csrs[0].gather(idx)
@@ -535,48 +641,77 @@ class Trainer:
             return out
 
         k_fuse = max(getattr(cfg, "eval_batches_per_call", 1), 1)
-        pending = []  # (gt, rows, uids, mask, sub) for equal-shape batches
+        # (gt, start, rows, uids, mask, sub, sharded); gt is None for
+        # sharded entries — gathered per local block at accumulation time
+        pending = []
 
         def flush():
             if not pending:
                 return
+            sharded = pending[0][6]
             if len(pending) == 1:
-                gt, rows, uids, mask, sub = pending[0]
+                gt, start, rows, uids, mask, sub, _ = pending[0]
                 pred = self._eval_step(state.params, rows, uids, mask, sub,
                                        sampling_steps=cfg.sampling_steps,
-                                       top_k=top_k)
-                acc.add(gt, np.asarray(pred))
+                                       top_k=top_k, shard_out=sharded)
+                if sharded:
+                    for sl, block in self._local_blocks(pred, batch_axis=0):
+                        users = np.arange(start + sl.start, start + sl.stop,
+                                          dtype=np.int32)
+                        acc.add(gt_csr.gather(users), block)
+                elif not use_reduce or is_main_process():
+                    acc.add(gt, np.asarray(pred))
             else:
-                xs = jnp.stack([p[1] for p in pending])
-                us = jnp.stack([p[2] for p in pending])
-                ms = jnp.stack([p[3] for p in pending])
-                ks = jnp.stack([p[4] for p in pending])
+                xs = jnp.stack([p[2] for p in pending])
+                us = jnp.stack([p[3] for p in pending])
+                ms = jnp.stack([p[4] for p in pending])
+                ks = jnp.stack([p[5] for p in pending])
                 preds = self._eval_multi(state.params, xs, us, ms, ks,
                                          sampling_steps=cfg.sampling_steps,
-                                         top_k=top_k)
-                for j, p in enumerate(pending):
-                    acc.add(p[0], np.asarray(preds[j]))
+                                         top_k=top_k, shard_out=sharded)
+                if sharded:
+                    for sl, block in self._local_blocks(preds, batch_axis=1):
+                        for j, p in enumerate(pending):
+                            users = np.arange(p[1] + sl.start,
+                                              p[1] + sl.stop, dtype=np.int32)
+                            acc.add(gt_csr.gather(users), block[j])
+                else:
+                    for j, p in enumerate(pending):
+                        if not use_reduce or is_main_process():
+                            acc.add(p[0], np.asarray(preds[j]))
             pending.clear()
 
         pack = cfg.wire_format == "packed"
         if pack:
             from gdmcf_tpu.ops.bitpack import pack_rows
-        for start in range(0, stop, bs):
+        for start in starts:
             idx = np.arange(start, min(start + bs, n), dtype=np.int32)
+            sharded = self._eval_shardable(idx.size)
+            gt = None
+            if sharded:
+                # this host gathers, packs and ships only its user slice —
+                # host-side assembly work also divides by nproc
+                lb = idx.size // jax.process_count()
+                lo = start + jax.process_index() * lb
+                idx = np.arange(lo, lo + lb, dtype=np.int32)
+            else:
+                gt = gt_csr.gather(idx)
             rows = union(input_csrs, idx)
             mask = union(mask_csrs, idx)
             if pack:  # union() output is binary (clipped); ship bits
                 rows, mask = pack_rows(rows), pack_rows(mask)
-            gt = gt_csr.gather(idx)
-            rows, uids = self._put_batch(rows, idx, replicate=True)
-            mask, _ = self._put_batch(mask, idx, replicate=True)
+            rows, uids = self._put_batch(rows, idx, replicate=not sharded)
+            mask, _ = self._put_batch(mask, idx, replicate=not sharded)
             key, sub = jax.random.split(key)
-            if pending and pending[0][1].shape != rows.shape:
+            if pending and (pending[0][2].shape != rows.shape
+                            or pending[0][6] != sharded):
                 flush()  # trailing partial batch runs alone
-            pending.append((gt, rows, uids, mask, sub))
+            pending.append((gt, start, rows, uids, mask, sub, sharded))
             if len(pending) == k_fuse:
                 flush()
         flush()
+        if use_reduce:
+            return self._reduce_metric_acc(acc)
         return acc.result()
 
     # ------------------------------------------------------------------

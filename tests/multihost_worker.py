@@ -132,6 +132,31 @@ def main():
     fit_state, best = tr2.fit(tr, va, te, log=lambda *a, **k: None)
     recall = [round(float(v), 6) for v in best[1]] if best else None
 
+    # -- dp-sharded eval == replicated eval (bit-exact metric reduce) ------
+    # tr2/fit_state eval with the default sharded path vs a trainer forced
+    # onto the replicated fallback: identical metrics, 1/nproc the compute
+    import dataclasses
+    tr3 = Trainer(dataclasses.replace(cfg2, eval_replicated=True),
+                  n_user, n_item)
+    tr3.mesh = mesh
+    dense_rows = np.asarray(tr.todense(), dtype=np.float32)
+    gt_dense = np.asarray(va.todense(), dtype=np.float32)
+    res_shard = tr2.evaluate(fit_state, dense_rows, gt_dense, dense_rows,
+                             [5, 10])
+    res_rep = tr3.evaluate(fit_state, dense_rows, gt_dense, dense_rows,
+                           [5, 10])
+    assert res_shard == res_rep, (res_shard, res_rep)
+
+    from gdmcf_tpu.data.native import NativeCSR
+    tcsr, vcsr = NativeCSR.from_scipy(tr), NativeCSR.from_scipy(va)
+    res_stream = tr2.evaluate_streaming(fit_state, [tcsr], vcsr, [tcsr],
+                                        [5, 10])
+    res_stream_rep = tr3.evaluate_streaming(fit_state, [tcsr], vcsr, [tcsr],
+                                            [5, 10])
+    assert res_stream == res_stream_rep, (res_stream, res_stream_rep)
+    assert res_stream == res_shard, (res_stream, res_shard)
+    print(f"SHARD_EVAL_OK pid={pid} recall={res_shard[1]}", flush=True)
+
     # -- distributed checkpoint: save sharded global state, restore it -----
     ckpt_dir = os.environ.get("CKPT_DIR")
     if ckpt_dir:

@@ -62,6 +62,11 @@ def test_two_process_distributed_smoke(nproc, tmp_path):
     # produce identical metrics everywhere
     assert len(set(losses)) == 1, losses
     assert len(set(recalls)) == 1 and recalls[0] != "None", recalls
-    # distributed checkpoint save/restore ran on every host
+    # distributed checkpoint save/restore and the sharded-eval==replicated
+    # A/B ran on every host
     for pid, out in enumerate(outs):
         assert f"CKPT_OK pid={pid}" in out, out
+        assert f"SHARD_EVAL_OK pid={pid}" in out, out
+    shard_recalls = {re.search(r"SHARD_EVAL_OK pid=\d+ recall=(\[.*?\])",
+                               out).group(1) for out in outs}
+    assert len(shard_recalls) == 1, shard_recalls

@@ -52,7 +52,7 @@ def test_eval_cache_not_stale_for_fresh_same_shape_arrays():
     rows2 = np.ones((16, 20), dtype=np.float32)
     b2 = t._prepare_eval_batches(rows2, mask)
     assert b2 is not b1
-    for _start, dev_rows, _uids, _m in b2:
+    for _start, dev_rows, _uids, _m, _sharded in b2:
         if dev_rows.dtype == np.uint8:  # cached in the packed wire format
             from gdmcf_tpu.ops.bitpack import unpack_rows
             dev_rows = unpack_rows(dev_rows, 20)
