@@ -79,6 +79,9 @@ def local_row_range(n_rows: int) -> range:
     return range(pid * base, (pid + 1) * base)
 
 
+_GATHER_STATE: dict = {}  # device-id key -> (mesh, jitted identity)
+
+
 def allgather_host_vectors(vec: np.ndarray) -> np.ndarray:
     """Bit-exact all-gather of one small host-local array per process:
     returns ``[nproc, *vec.shape]`` stacked in process-index order.
@@ -95,14 +98,19 @@ def allgather_host_vectors(vec: np.ndarray) -> np.ndarray:
     nloc = jax.local_device_count()
     # process-major device order => global row block p belongs to process p
     devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
-    mesh = Mesh(np.asarray(devs), axis_names=("all",))
+    key = tuple(d.id for d in devs)
+    if key not in _GATHER_STATE:
+        mesh = Mesh(np.asarray(devs), axis_names=("all",))
+        # one jitted identity reused across calls: a fresh lambda per call
+        # would retrace/recompile the gather on every metric reduce
+        _GATHER_STATE[key] = (mesh, jax.jit(
+            lambda x: x, out_shardings=NamedSharding(mesh, P())))
+    mesh, gather = _GATHER_STATE[key]
     local = np.ascontiguousarray(np.repeat(payload, nloc, axis=0))
     g = jax.make_array_from_process_local_data(
         NamedSharding(mesh, P("all")), local,
         (nproc * nloc, payload.shape[1]))
-    gathered = jax.jit(lambda x: x,
-                       out_shardings=NamedSharding(mesh, P()))(g)
-    rows = np.asarray(jax.device_get(gathered))[::nloc]
+    rows = np.asarray(jax.device_get(gather(g)))[::nloc]
     return rows.view(vec.dtype).reshape((nproc,) + vec.shape)
 
 

@@ -101,10 +101,12 @@ class Trainer:
 
     def _put_batch(self, x: jnp.ndarray, idx: jnp.ndarray,
                    replicate: bool = False):
-        """``replicate=True`` marks an EVAL batch in multi-host mode: every
-        process passes the identical full batch and gets a replicated global
-        array (each host evaluates the full set — redundant compute, no
-        cross-host metric plumbing). Train batches are per-process shards."""
+        """``replicate=True`` (multi-host): every process passes the
+        identical full batch and gets a replicated global array — used for
+        eval batches that cannot dp-shard (non-divisible partials, or
+        ``eval_replicated=True``). Everything else — train batches and the
+        default dp-sharded eval batches — is per-process shards assembled
+        into the global dp batch."""
         if self.mesh is None:
             return jnp.asarray(x), jnp.asarray(idx)
         from jax.sharding import NamedSharding
@@ -183,6 +185,38 @@ class Trainer:
                 continue
             seen.add((start, stop))
             yield slice(start, stop), np.asarray(jax.device_get(s.data))
+
+    def _acc_local_blocks(self, acc, uids_devs, preds, gt_fn) -> None:
+        """Accumulate this host's dp blocks of a sharded eval output into
+        ``acc``. ``uids_devs``: the per-batch [B] uids device arrays (K of
+        them for a fused [K, B, k] ``preds``, one for a plain [B, k]). The
+        row->user mapping comes from the uids arrays' OWN blocks, paired
+        with the pred blocks by shard row range: uids and preds share the
+        dp partitioning of the batch axis, so the pairing holds even on
+        meshes whose dp blocks are not process-contiguous (e.g. a TPU slice
+        whose raw device order interleaves hosts) — positional
+        ``start + process_index*lb`` math would silently score the wrong
+        ground-truth rows there."""
+        fused = preds.ndim == 3
+        axis = 1 if fused else 0
+        uid_maps = [{(sl.start, sl.stop): blk
+                     for sl, blk in self._local_blocks(u, 0)}
+                    for u in uids_devs]
+        for sl, pred in self._local_blocks(preds, axis):
+            key = (sl.start, sl.stop)
+            if fused:
+                for j in range(pred.shape[0]):
+                    acc.add(gt_fn(uid_maps[j][key]), pred[j])
+            else:
+                acc.add(gt_fn(uid_maps[0][key]), pred)
+
+    def _local_eval_slice(self, start: int, b: int):
+        """This host's (offset, length) slice of a size-``b`` sharded eval
+        batch starting at global row ``start``. Any disjoint per-host
+        partition works — the uids ride the batch, and accumulation maps
+        rows back through them (_acc_local_blocks)."""
+        lb = b // jax.process_count()
+        return start + jax.process_index() * lb, lb
 
     @staticmethod
     def _reduce_metric_acc(acc):
@@ -502,11 +536,8 @@ class Trainer:
                                        sampling_steps=cfg.sampling_steps,
                                        top_k=top_k, shard_out=sharded)
                 if sharded:
-                    for sl, block in self._local_blocks(idx, batch_axis=1):
-                        for j, (start, *_r) in enumerate(group):
-                            users = np.arange(start + sl.start,
-                                              start + sl.stop)
-                            acc.add(gt_matrix[users], block[j])
+                    self._acc_local_blocks(acc, [g[2] for g in group], idx,
+                                           lambda u: gt_matrix[u])
                 else:
                     for j, (start, rows, *_r) in enumerate(group):
                         users = np.arange(start, start + rows.shape[0])
@@ -523,9 +554,8 @@ class Trainer:
                                       sampling_steps=cfg.sampling_steps,
                                       top_k=top_k, shard_out=sharded)
                 if sharded:
-                    for sl, block in self._local_blocks(idx, batch_axis=0):
-                        users = np.arange(start + sl.start, start + sl.stop)
-                        acc.add(gt_matrix[users], block)
+                    self._acc_local_blocks(acc, [uids], idx,
+                                           lambda u: gt_matrix[u])
                 else:
                     users = np.arange(start, start + rows.shape[0])
                     if use_acc:
@@ -578,8 +608,7 @@ class Trainer:
             if sharded:
                 # dp-sharded multi-host batch: this host uploads only its
                 # 1/nproc slice; _put_batch assembles the global dp batch
-                lb = b // jax.process_count()
-                lo = start + jax.process_index() * lb
+                lo, lb = self._local_eval_slice(start, b)
                 rows_np = eval_rows[lo:lo + lb]
                 mask_np = mask_matrix[lo:lo + lb]
                 uids_np = np.arange(lo, lo + lb, dtype=np.int32)
@@ -655,10 +684,8 @@ class Trainer:
                                        sampling_steps=cfg.sampling_steps,
                                        top_k=top_k, shard_out=sharded)
                 if sharded:
-                    for sl, block in self._local_blocks(pred, batch_axis=0):
-                        users = np.arange(start + sl.start, start + sl.stop,
-                                          dtype=np.int32)
-                        acc.add(gt_csr.gather(users), block)
+                    self._acc_local_blocks(acc, [uids], pred,
+                                           lambda u: gt_csr.gather(u))
                 elif not use_reduce or is_main_process():
                     acc.add(gt, np.asarray(pred))
             else:
@@ -670,11 +697,8 @@ class Trainer:
                                          sampling_steps=cfg.sampling_steps,
                                          top_k=top_k, shard_out=sharded)
                 if sharded:
-                    for sl, block in self._local_blocks(preds, batch_axis=1):
-                        for j, p in enumerate(pending):
-                            users = np.arange(p[1] + sl.start,
-                                              p[1] + sl.stop, dtype=np.int32)
-                            acc.add(gt_csr.gather(users), block[j])
+                    self._acc_local_blocks(acc, [p[3] for p in pending],
+                                           preds, lambda u: gt_csr.gather(u))
                 else:
                     for j, p in enumerate(pending):
                         if not use_reduce or is_main_process():
@@ -691,8 +715,7 @@ class Trainer:
             if sharded:
                 # this host gathers, packs and ships only its user slice —
                 # host-side assembly work also divides by nproc
-                lb = idx.size // jax.process_count()
-                lo = start + jax.process_index() * lb
+                lo, lb = self._local_eval_slice(start, idx.size)
                 idx = np.arange(lo, lo + lb, dtype=np.int32)
             else:
                 gt = gt_csr.gather(idx)
