@@ -180,6 +180,16 @@ def main():
     assert close(r4, r5), (r4, r5)
     print(f"SHARD_EVAL_OK pid={pid} recall={res_shard[1]}", flush=True)
 
+    # -- the scale combo: multi-host fit on the large-catalog host path
+    # (CSR-backed RowSlice shards + streaming dp-sharded eval)
+    cfg_lc = dataclasses.replace(cfg2, host_dense=False, epochs=1)
+    tr_lc = Trainer(cfg_lc, n_user, n_item)
+    tr_lc.mesh = mesh
+    _, best_lc = tr_lc.fit(tr, va, te, log=lambda *a, **k: None)
+    assert best_lc is not None
+    lc_recall = [round(float(v), 6) for v in best_lc[1]]
+    print(f"LC_FIT_OK pid={pid} recall={lc_recall}", flush=True)
+
     # -- distributed checkpoint: save sharded global state, restore it -----
     ckpt_dir = os.environ.get("CKPT_DIR")
     if ckpt_dir:

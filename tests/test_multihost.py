@@ -70,3 +70,7 @@ def test_two_process_distributed_smoke(nproc, tmp_path):
     shard_recalls = {re.search(r"SHARD_EVAL_OK pid=\d+ recall=(\[.*?\])",
                                out).group(1) for out in outs}
     assert len(shard_recalls) == 1, shard_recalls
+    # multi-host fit over the CSR-backed large-catalog host path
+    lc_recalls = {re.search(r"LC_FIT_OK pid=\d+ recall=(\[.*?\])",
+                            out).group(1) for out in outs}
+    assert len(lc_recalls) == 1, lc_recalls
