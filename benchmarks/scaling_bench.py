@@ -8,9 +8,12 @@ On a real slice (one process per host):
     COORDINATOR_ADDRESS=... NUM_PROCESSES=... PROCESS_ID=... \
         python benchmarks/scaling_bench.py --per-chip-batch 512
 
-On this 1-chip dev container it degenerates to the single-chip row (the
-virtual CPU mesh measures correctness, not bandwidth, so it is not used for
-efficiency numbers).
+Multi-host prints ONE row per launch (the mesh must cover every device of a
+live slice); launch on 1, 2, 4... hosts and combine rows for the curve.
+Each row also reports dp-sharded eval-step throughput. On this 1-chip dev
+container it degenerates to the single-chip row (the virtual CPU mesh
+measures correctness, not bandwidth, so it is not used for efficiency
+numbers).
 """
 
 from __future__ import annotations
@@ -25,9 +28,8 @@ import numpy as np
 
 
 def measure_mesh(dp: int, mp: int, per_chip_batch: int, n_item: int,
-                 iters: int = 20, warmup: int = 3) -> float:
+                 iters: int = 20, warmup: int = 3):
     import jax
-    import jax.numpy as jnp
 
     from gdmcf_tpu.config import Config
     from gdmcf_tpu.train.trainer import Trainer
@@ -41,7 +43,11 @@ def measure_mesh(dp: int, mp: int, per_chip_batch: int, n_item: int,
     rng = np.random.default_rng(0)
     x = (rng.random((batch, n_item)) < 0.01).astype(np.float32)
     idx = np.arange(batch, dtype=np.int32)
-    xs, idxs = trainer._put_batch(jnp.asarray(x), jnp.asarray(idx))
+    # multi-host: each process feeds ONLY its local slice of the global
+    # batch (_put_batch assembles the dp-sharded global array)
+    nproc, pid = jax.process_count(), jax.process_index()
+    sl = slice(pid * (batch // nproc), (pid + 1) * (batch // nproc))
+    xs, idxs = trainer._put_batch(x[sl], idx[sl])
 
     for _ in range(warmup):
         state, loss = trainer._train_step(state, xs, idxs)
@@ -50,7 +56,28 @@ def measure_mesh(dp: int, mp: int, per_chip_batch: int, n_item: int,
     for _ in range(iters):
         state, loss = trainer._train_step(state, xs, idxs)
     float(loss)  # the state chain forces all iters to execute
-    return batch * iters / (time.perf_counter() - t0)
+    train_eps = batch * iters / (time.perf_counter() - t0)
+
+    # eval-step throughput on the same mesh (dp-sharded multi-host eval:
+    # each host scores its slice; output stays sharded — only metric sums
+    # would cross hosts in a real evaluate())
+    key = jax.random.PRNGKey(0)
+    ev = lambda: trainer._eval_step(state.params, xs, idxs, xs, key,
+                                    sampling_steps=0, top_k=100,
+                                    shard_out=nproc > 1)
+
+    def sync(a):  # sharded outputs are not fully addressable multi-host
+        jax.block_until_ready(a)
+        np.asarray(a.addressable_shards[0].data)  # value fetch (dev relays)
+
+    sync(ev())  # compile
+    t0 = time.perf_counter()
+    pred = None
+    for _ in range(iters):
+        pred = ev()
+    sync(pred)
+    eval_ups = batch * iters / (time.perf_counter() - t0)
+    return train_eps, eval_ups
 
 
 def main():
@@ -67,17 +94,27 @@ def main():
 
     n = len(jax.devices())
     results = {}
-    dp = 1
-    base = None
-    while dp * args.mp <= n:
-        eps = measure_mesh(dp, args.mp, args.per_chip_batch, args.n_item)
-        if base is None:
-            base = eps
+    if jax.process_count() > 1:
+        # a live slice can't shrink: one measurement per launch (the mesh
+        # must cover every device); build the weak-scaling curve by
+        # launching on 1, 2, 4... hosts and combining the printed rows
+        dps = [n // args.mp]
+    else:
+        dps, dp = [], 1
+        while dp * args.mp <= n:
+            dps.append(dp)
+            dp *= 2
+    base_per_chip = None
+    for dp in dps:
+        eps, eval_ups = measure_mesh(dp, args.mp, args.per_chip_batch,
+                                     args.n_item)
+        if base_per_chip is None:
+            base_per_chip = eps / dps[0]
         results[f"dp={dp},mp={args.mp}"] = {
             "examples_per_s": round(eps, 1),
-            "efficiency": round(eps / (base * dp), 4),
+            "efficiency": round((eps / dp) / base_per_chip, 4),
+            "eval_users_per_s": round(eval_ups, 1),
         }
-        dp *= 2
     if multihost.is_main_process():
         print(json.dumps(results, indent=2))
 

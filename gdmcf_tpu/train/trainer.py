@@ -42,7 +42,18 @@ class Trainer:
         if cfg.mesh_dp * cfg.mesh_mp > 1:
             from gdmcf_tpu.parallel.mesh import make_mesh
             devices = jax.devices()
-            if len(devices) < cfg.mesh_dp * cfg.mesh_mp:
+            if jax.process_count() > 1:
+                # multi-host: the mesh must cover every device (a subset
+                # would leave some hosts addressing nothing), in
+                # process-major order so dp blocks stay host-aligned and
+                # each host's batch slice lands on its own chips
+                if cfg.mesh_dp * cfg.mesh_mp != len(devices):
+                    raise ValueError(
+                        f"multi-host run: mesh ({cfg.mesh_dp},{cfg.mesh_mp})"
+                        f" must cover all {len(devices)} devices")
+                devices = sorted(devices,
+                                 key=lambda d: (d.process_index, d.id))
+            elif len(devices) < cfg.mesh_dp * cfg.mesh_mp:
                 # dev/test convenience: virtual CPU devices stand in for a
                 # slice — but never silently in production
                 import warnings
