@@ -463,6 +463,14 @@ class Diffusion:
     ) -> jnp.ndarray:
         """Full reverse loop in one scan; returns scores [B, n]."""
         assert sampling_steps <= self.steps, "Too much steps in inference."
+        if sampling_steps > 0 and self.coeffs is None:
+            # noise_scale==0 skips the coefficient tables; q_sample below
+            # would die on coeffs=None deep in the trace (the reference
+            # crashes identically — calculate_for_diffusion is skipped,
+            # ref gaussian_diffusion.py:87-91,669-701). Fail loudly instead.
+            raise ValueError(
+                "noise_scale=0 supports only sampling_steps=0 (no diffusion "
+                "coefficient tables exist to corrupt the starting point)")
         B, n = x_start.shape
         k_init_u, k_init_c, k_loop = jax.random.split(key, 3)
 
@@ -487,12 +495,19 @@ class Diffusion:
             x_t = self.q_sample(x_start, t0, jax.random.normal(k_init_c, x_start.shape))
 
         if self.noise_scale == 0.0:
-            # Degenerate path (ref :697-701): iterate the model directly.
-            for i in reversed(range(self.steps)):
+            # Degenerate path (ref :697-701): iterate the model directly —
+            # still ONE lax.scan, not a trace-unrolled python loop (at
+            # reference-scale steps the unroll would blow up compile time).
+            def plain_step(x_t, i):
                 t = jnp.full((B,), i, dtype=jnp.int32)
-                x_t, _ = model_apply(params, x_t, t, x_tU, index=index,
+                out, _ = model_apply(params, x_t, t, x_tU, index=index,
                                      graph=None, rcloss=False,
                                      train=False, rng=None)
+                return out, None
+
+            ts_seq = jnp.arange(self.steps - 1, -1, -1, dtype=jnp.int32)
+            x_t, _ = jax.lax.scan(plain_step, x_t, ts_seq,
+                                  unroll=min(self.steps, 8))
             return x_t
 
         if self.variant == "legacy":

@@ -92,7 +92,7 @@ def _adamw_leaf_kernel(p, g, mu, nu, c, *, b1, b2, eps, lr, wd,
                        interpret=False):
     """One-pass fused update for a single 2-D leaf."""
     rows, cols = p.shape
-    # 2-D blocking: col blocks cap at 1024 lanes so arbitrarily wide leaves
+    # 2-D blocking: col blocks cap at 2048 lanes so arbitrarily wide leaves
     # (a [dims, n_item] tower head at n_item=1M is 4 GB) stream in bounded
     # VMEM; row blocks fill the per-input budget, multiple of 16 for the
     # bf16 sublane tiling.

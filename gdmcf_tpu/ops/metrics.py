@@ -53,6 +53,20 @@ def _metrics_sums(hits: jnp.ndarray, gt_count: jnp.ndarray,
     return jnp.stack(cols, axis=1)
 
 
+def _hits_and_counts(gt_rows, pred_idx, topn: Tuple[int, ...]):
+    """Shared hit-matrix assembly for the one-shot and streamed entry
+    points. Fails loudly when fewer items were ranked than the largest
+    cutoff asks for — a silent clamp would deflate the metrics."""
+    gt = jnp.asarray(gt_rows)
+    idx = jnp.asarray(pred_idx)
+    if max(topn) > idx.shape[1]:
+        raise ValueError(
+            f"topn cutoff {max(topn)} exceeds the {idx.shape[1]} ranked "
+            "predictions — rank at least max(topn) items per user")
+    hits = jnp.take_along_axis(gt, idx, axis=1).astype(jnp.float32)
+    return hits, gt.sum(axis=1).astype(jnp.float32)
+
+
 def compute_topn_accuracy(
     gt_matrix: np.ndarray | jnp.ndarray,   # [N, n_item] binary ground truth
     pred_indices: np.ndarray | jnp.ndarray,  # [N, K_max] ranked item ids
@@ -62,11 +76,9 @@ def compute_topn_accuracy(
 
     Returns (precision, recall, NDCG, MRR) lists rounded to 4 decimals.
     """
-    gt = jnp.asarray(gt_matrix)
-    idx = jnp.asarray(pred_indices)
-    hits = jnp.take_along_axis(gt, idx, axis=1).astype(jnp.float32)
-    gt_count = gt.sum(axis=1).astype(jnp.float32)
-    out = np.asarray(_metrics_sums(hits, gt_count, tuple(topn))) / gt.shape[0]
+    topn = tuple(topn)
+    hits, gt_count = _hits_and_counts(gt_matrix, pred_indices, topn)
+    out = np.asarray(_metrics_sums(hits, gt_count, topn)) / hits.shape[0]
     precision, recall, ndcg, mrr = out
     rnd = lambda row: [round(float(v), 4) for v in row]
     return rnd(precision), rnd(recall), rnd(ndcg), rnd(mrr)
@@ -83,12 +95,9 @@ class MetricAccumulator:
         self.n_users = 0
 
     def add(self, gt_rows, pred_idx) -> None:
-        gt = jnp.asarray(gt_rows)
-        idx = jnp.asarray(pred_idx)
-        hits = jnp.take_along_axis(gt, idx, axis=1).astype(jnp.float32)
-        gt_count = gt.sum(axis=1).astype(jnp.float32)
+        hits, gt_count = _hits_and_counts(gt_rows, pred_idx, self.topn)
         self.sums += np.asarray(_metrics_sums(hits, gt_count, self.topn))
-        self.n_users += gt.shape[0]
+        self.n_users += hits.shape[0]
 
     def result(self):
         out = self.sums / max(self.n_users, 1)

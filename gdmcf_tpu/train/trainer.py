@@ -508,7 +508,7 @@ class Trainer:
         cached = self._prepare_eval_batches(eval_rows, mask_matrix)
         all_idx = []
         kept_users = []
-        top_k = int(topn[-1])
+        top_k = int(max(topn))  # unsorted topN still ranks enough items
         # dp-sharded multi-host eval: each host accumulates metric sums for
         # its own row blocks only; the sums reduce across hosts at the end.
         # Replicated batches (e.g. a non-divisible trailing partial) are
@@ -663,7 +663,7 @@ class Trainer:
         if stop == 0 and n > 0:
             stop = n  # serve the single partial batch (see epoch_batches)
         acc = MetricAccumulator(topn)
-        top_k = int(topn[-1])
+        top_k = int(max(topn))  # unsorted topN still ranks enough items
         starts = list(range(0, stop, bs))
         # dp-sharded multi-host eval (see _eval_shardable): each host scores
         # and accumulates 1/nproc of every shardable batch; non-shardable

@@ -155,3 +155,32 @@ def test_update_lt_vectorized_matches_sequential_oracle():
                                       np.asarray(slow.count))
         np.testing.assert_allclose(np.asarray(fast.history),
                                    np.asarray(slow.history), rtol=1e-6)
+
+
+def test_noise_scale_zero_degenerate_path():
+    """noise_scale=0 (no coefficient tables): the reverse loop iterates the
+    model directly in ONE lax.scan (ref gaussian_diffusion.py:697-701) and
+    stays finite; sampling_steps>0 fails loudly instead of dying on
+    coeffs=None deep inside the trace (the reference crashes the same way —
+    calculate_for_diffusion is skipped at :87-91)."""
+    import pytest
+
+    # plain DNN: the degenerate loop calls model(x_t, t) with no graph side
+    # input, exactly like the reference's loop (graph backbones crash there
+    # in the reference too)
+    cfg = Config(backbone="DNN", dims=[16], emb_size=10,
+                 steps=5, noise_scale=0.0)
+    model = build_model(cfg, N_USER, N_ITEM)
+    diff = Diffusion.create(cfg, index_in=model.needs_index)
+    params = model.init(jax.random.PRNGKey(0))
+    x = (jax.random.uniform(jax.random.PRNGKey(1), (B, N_ITEM)) < 0.3
+         ).astype(jnp.float32)
+    index = jnp.arange(B, dtype=jnp.int32)
+    assert diff.coeffs is None
+    scores = diff.p_sample(model.apply, params, x, index,
+                           jax.random.PRNGKey(9), sampling_steps=0)
+    assert scores.shape == (B, N_ITEM)
+    assert jnp.all(jnp.isfinite(scores))
+    with pytest.raises(ValueError, match="sampling_steps=0"):
+        diff.p_sample(model.apply, params, x, index,
+                      jax.random.PRNGKey(9), sampling_steps=2)

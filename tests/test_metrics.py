@@ -70,3 +70,44 @@ def test_perfect_ranking():
     p, r, nd, mrr = compute_topn_accuracy(gt, pred, [5, 10])
     assert r[0] == 1.0 and nd[0] == 1.0 and mrr[0] == 1.0
     assert p[0] == 1.0 and p[1] == 0.5
+
+
+def test_topn_cutoff_wider_than_predictions_rejected():
+    """Ranking fewer items than max(topn) must fail loudly — a silent clamp
+    deflates precision/NDCG (hits[:, :k] would quietly shrink)."""
+    import pytest
+
+    from gdmcf_tpu.ops.metrics import MetricAccumulator
+
+    gt = np.zeros((4, 30), dtype=np.float32)
+    gt[:, 0] = 1.0
+    pred = np.tile(np.arange(10, dtype=np.int32), (4, 1))
+    with pytest.raises(ValueError, match="exceeds"):
+        compute_topn_accuracy(gt, pred, [10, 20])
+    acc = MetricAccumulator([10, 20])
+    with pytest.raises(ValueError, match="exceeds"):
+        acc.add(gt, pred)
+
+
+def test_unsorted_topn_ranks_enough(tmp_path):
+    """topN given in descending order must still rank max(topn) items (the
+    trainer takes max, not the last element)."""
+    from gdmcf_tpu.config import Config
+    from gdmcf_tpu.data.loader import (DiffusionDataset, data_load,
+                                       generate_synthetic_dataset)
+    from gdmcf_tpu.train.trainer import Trainer
+
+    paths = generate_synthetic_dataset(str(tmp_path / "d"), n_user=32,
+                                       n_item=24, avg_degree=6, seed=1)
+    train, valid, _, n_user, n_item = data_load(*paths)
+    cfg = Config(backbone="DNN", dims=[8], emb_size=10, steps=5,
+                 batch_size=16, sampling_steps=0, topN=[10, 5])
+    t = Trainer(cfg, n_user, n_item)
+    state = t.init_state()
+    rows = np.asarray(train.todense(), dtype=np.float32)
+    gt = np.asarray(valid.todense(), dtype=np.float32)
+    up = t.evaluate(state, rows, gt, rows, cfg.topN)
+    down = t.evaluate(state, rows, gt, rows, sorted(cfg.topN))
+    # same metrics, opposite column order
+    for a, b in zip(up, down):
+        assert a == b[::-1], (a, b)
