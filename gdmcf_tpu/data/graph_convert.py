@@ -48,6 +48,11 @@ def pred_to_adjacency(edge: np.ndarray, index: np.ndarray, a: int = 5949,
                       b: int = 2810, bs: int = 400,
                       pred: Optional[np.ndarray] = None) -> np.ndarray:
     """Like edge_to_adjacency but keeps only edges whose link prediction == 1."""
+    if pred is None:
+        # np.asarray(None) == 1 is a 0-d False mask: the call would silently
+        # return an all-zero adjacency instead of filtering anything
+        raise ValueError("pred_to_adjacency requires the per-edge link "
+                         "predictions (pred)")
     x = np.zeros((bs, b), dtype=np.float32)
     rindex = np.zeros(a, dtype=np.int64)
     rindex[np.asarray(index)] = np.arange(len(index))

@@ -65,9 +65,10 @@ class DiffusionDataset:
     """Dense-row view over a CSR interaction matrix with user indices."""
 
     def __init__(self, csr: sp.spmatrix, n_rows: Optional[int] = None):
-        mat = csr.toarray().astype(np.float32)
         if n_rows is not None:
-            mat = mat[:n_rows]
+            csr = csr[:n_rows]  # slice BEFORE densifying (n_user_cap exists
+            #                     precisely for memory-constrained runs)
+        mat = csr.toarray().astype(np.float32)
         self.rows = np.ascontiguousarray(mat)
         # duplicate (uid, iid) pairs sum to count cells > 1 (the reference's
         # CSR build does the same), and weighted matrices have fractional

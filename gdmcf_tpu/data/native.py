@@ -30,10 +30,16 @@ def _ensure_lib() -> Optional[ctypes.CDLL]:
     try:
         if (not _LIB.exists()
                 or _LIB.stat().st_mtime < _SRC.stat().st_mtime):
+            # compile to a private temp and rename: concurrent first-use
+            # (multi-host processes on one machine) must never CDLL a
+            # half-written .so — that OSError would silently demote the
+            # process to the numpy fallback for the whole run
+            tmp = _LIB.with_suffix(f".{os.getpid()}.so")
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-fopenmp", "-o", str(_LIB), str(_SRC)],
+                 "-fopenmp", "-o", str(tmp), str(_SRC)],
                 check=True, capture_output=True, timeout=120)
+            os.replace(tmp, _LIB)
         lib = ctypes.CDLL(str(_LIB))
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")

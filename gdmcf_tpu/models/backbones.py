@@ -514,7 +514,7 @@ def dnn_transformer(in_dims, out_dims, emb_size, norm=False,
 
 def dnn_lightgcn(in_dims, out_dims, emb_size, n_user, n_item,
                  norm=False, dropout_rate=0.5, lgn_dim: int = 64,
-                 lgn_layers: int = 2, norm_adj: Optional[tuple] = None,
+                 lgn_layers: int = 2, norm_adj=None,
                  sparse_adj=None) -> ModelDef:
     """DNNlightGCN (ref :1709-1804), dense reformulation.
 
@@ -524,7 +524,7 @@ def dnn_lightgcn(in_dims, out_dims, emb_size, n_user, n_item,
     static train graph. Densely: S = sigmoid(E_u[index] @ E_i^T);
     x' = x * (S > 0.5).
 
-    ``norm_adj``: (N, N^T) numpy blocks from
+    ``norm_adj``: the normalized user->item block N ([n_user, n_item]) from
     models/lightgcn.normalized_bipartite_blocks over the TRAIN matrix (the
     reference's frozen e_f edge set, main.py:221-235). The boolean threshold
     blocks all gradient to the LightGCN embeddings in the reference too, so
@@ -567,7 +567,7 @@ def dnn_lightgcn(in_dims, out_dims, emb_size, n_user, n_item,
                     e_user, e_item, block_sparse_meta(op),
                     block_sparse_arrays(op), lgn_layers, interpret=interp)
         elif norm_adj is not None:
-            r_ui = jnp.asarray(norm_adj[0])
+            r_ui = jnp.asarray(norm_adj)
             us, its = [e_user], [e_item]
             for _ in range(lgn_layers):
                 us.append(r_ui @ its[-1])

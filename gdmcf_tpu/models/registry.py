@@ -90,15 +90,9 @@ def build_model(cfg, n_user: int, n_item: int, train_csr=None,
                 sparse_adj = (normalized_bipartite_hybrid(train_csr), interp)
             else:
                 from gdmcf_tpu.models.lightgcn import normalized_bipartite_blocks
-                n_mat = normalized_bipartite_blocks(train_csr)
-                norm_adj = (n_mat, n_mat.T)
+                norm_adj = normalized_bipartite_blocks(train_csr)
         return dnn_lightgcn(in_dims, out_dims, cfg.emb_size,
                             n_user, n_item, norm_adj=norm_adj,
                             sparse_adj=sparse_adj, **common)
     raise ValueError(f"not implemented backbone: {b}")
 
-
-def needs_index(backbone: str) -> bool:
-    """Reference ``diffusion.indexIn = True`` branches (main.py:241,244,251)."""
-    return backbone in ("DNNOneHotEmbedding", "DNNOneHotEmbeddingGCN",
-                        "DNNOneHotEmbeddingGCN_conti", "lightGCN")

@@ -48,8 +48,12 @@ def initialize(coordinator_address: Optional[str] = None,
 
 def global_mesh(dp: Optional[int] = None, mp: Optional[int] = None) -> Mesh:
     """(dp, mp) mesh over all global devices. Defaults: mp = chips per host
-    (catalog axis on ICI), dp = hosts (data axis over DCN)."""
-    devices = jax.devices()
+    (catalog axis on ICI), dp = hosts (data axis over DCN).
+
+    Devices are laid process-major: raw ``jax.devices()`` order can
+    interleave hosts on a real slice, which would put mp rows across DCN
+    and misalign dp blocks with the hosts feeding them."""
+    devices = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
     if mp is None:
         mp = max(jax.local_device_count(), 1)
     if dp is None:
@@ -114,13 +118,22 @@ def allgather_host_vectors(vec: np.ndarray) -> np.ndarray:
     return rows.view(vec.dtype).reshape((nproc,) + vec.shape)
 
 
+_SYNC_STATE: dict = {}  # device-id key -> compiled barrier fn
+
+
 def sync_hosts(name: str = "barrier", devices=None) -> None:
-    """Cross-host barrier via a tiny psum (safe on single host too)."""
+    """Cross-host barrier via a tiny psum (safe on single host too).
+    The compiled barrier is cached per device set — a fresh shard_map per
+    call would retrace/recompile on every barrier."""
     from jax.sharding import PartitionSpec as P
-    devices = devices if devices is not None else jax.devices()
-    mesh = Mesh(np.asarray(devices).reshape(len(devices)), axis_names=("all",))
-    fn = jax.shard_map(
-        lambda x: jax.lax.psum(x, "all"),
-        mesh=mesh, in_specs=P("all"), out_specs=P(),
-        check_vma=False)
+    devices = tuple(devices if devices is not None else jax.devices())
+    key = tuple(d.id for d in devices)
+    fn = _SYNC_STATE.get(key)
+    if fn is None:
+        mesh = Mesh(np.asarray(devices).reshape(len(devices)),
+                    axis_names=("all",))
+        fn = _SYNC_STATE[key] = jax.jit(jax.shard_map(
+            lambda x: jax.lax.psum(x, "all"),
+            mesh=mesh, in_specs=P("all"), out_specs=P(),
+            check_vma=False))
     np.asarray(fn(np.ones((len(devices),), np.float32)))

@@ -33,7 +33,7 @@ DEFAULT_RULES: List[Tuple[str, P]] = [
     (r"in_layers2/0/w$", P("mp", None)),
     (r"cat_layer/w$", P(None, "mp")),
     (r"out_layers/(\d+)/w$", P(None, None)),
-    (r"lgn_embedding$", P("mp", None)),
+    (r"frozen_lgn_(user|item)$", P("mp", None)),
     (r".*", P()),
 ]
 

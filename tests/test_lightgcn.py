@@ -196,7 +196,7 @@ def test_dnn_lightgcn_sparse_adj_matches_dense(rng):
     n_bs = normalized_bipartite_sparse(csr, br=16, bc=16)
     dims = [n_item, 8]
     m_dense = dnn_lightgcn(dims, dims[::-1], 10, n_user, n_item,
-                           norm_adj=(n_mat, n_mat.T))
+                           norm_adj=n_mat)
     m_sparse = dnn_lightgcn(dims, dims[::-1], 10, n_user, n_item,
                             sparse_adj=(n_bs, True))
     p_d = m_dense.init(jax.random.PRNGKey(0))

@@ -330,7 +330,7 @@ def test_dnn_lightgcn_hybrid_sparse_adj_matches_dense():
     h = normalized_bipartite_hybrid(csr, br=8, bc=16, min_fill=2)
     dims = [n_item, 8]
     m_dense = dnn_lightgcn(dims, dims[::-1], 10, n_user, n_item,
-                           norm_adj=(n_mat, n_mat.T))
+                           norm_adj=n_mat)
     m_hybrid = dnn_lightgcn(dims, dims[::-1], 10, n_user, n_item,
                             sparse_adj=(h, True))
     p_d = m_dense.init(jax.random.PRNGKey(0))

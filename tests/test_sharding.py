@@ -187,3 +187,37 @@ def test_mesh_trainer_step_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(state_m.params["embedding_user"]),
         np.asarray(state_p.params["embedding_user"]), rtol=5e-3, atol=1e-5)
+
+
+def test_lightgcn_frozen_tables_shard_and_match():
+    """DNNlightGCN's frozen propagated tables shard over mp rows (the rule
+    once targeted a nonexistent 'lgn_embedding' name and silently
+    replicated them); the sharded forward equals single-device."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(0)
+    tr = sp.csr_matrix((rng.random((N_USER, N_ITEM)) < 0.3
+                        ).astype(np.float32))
+    cfg = Config(backbone="lightGCN", dims=[16], emb_size=10,
+                 steps=5, noise_scale=0.01, batch_size=B)
+    model = build_model(cfg, N_USER, N_ITEM, train_csr=tr)
+    params = model.init(jax.random.PRNGKey(0))
+    specs = param_specs(params)
+    assert specs["frozen_lgn_user"] == P("mp", None)
+    assert specs["frozen_lgn_item"] == P("mp", None)
+
+    mesh = make_mesh(dp=4, mp=2, devices=cpu_devices)
+    x = (jax.random.uniform(jax.random.PRNGKey(1), (B, N_ITEM)) < 0.3
+         ).astype(jnp.float32)
+    t = jnp.zeros((B,), jnp.int32)
+    idx = jnp.arange(B, dtype=jnp.int32)
+    ref_out, _ = model.apply(params, x, t, None, index=idx,
+                             train=False, rng=None)
+    sharded = shard_params(params, mesh)
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp", "mp")))
+    out, _ = jax.jit(
+        lambda p, x, t, i: model.apply(p, x, t, None, index=i,
+                                       train=False, rng=None)
+    )(sharded, xs, t, idx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=2e-5, atol=1e-5)
