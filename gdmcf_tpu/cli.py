@@ -33,10 +33,18 @@ def main(cfg: Config = None) -> None:
     print("Starting time: ",
           time.strftime("%Y-%m-%d %H:%M:%S", time.localtime(time.time())))
 
-    train_path = cfg.data_path + "train_list.npy"
-    valid_path = cfg.data_path + "valid_list.npy"
-    test_path = cfg.data_path + "test_list.npy"
+    # os.path.join, NOT string concat: a data_path without a trailing slash
+    # would miss the real files and the synthetic fallback below would then
+    # OVERWRITE the user's dataset
+    train_path = os.path.join(cfg.data_path, "train_list.npy")
+    valid_path = os.path.join(cfg.data_path, "valid_list.npy")
+    test_path = os.path.join(cfg.data_path, "test_list.npy")
     if not os.path.exists(train_path):
+        if any(os.path.exists(p) for p in (valid_path, test_path)):
+            raise FileNotFoundError(
+                f"{train_path} is missing but sibling split files exist in "
+                f"{cfg.data_path} — refusing to overwrite a partial dataset "
+                "with synthetic data")
         # The reference snapshot ships placeholder archives only; generate a
         # synthetic dataset with comparable geometry for development runs.
         print(f"{train_path} missing; generating synthetic dataset")
@@ -53,7 +61,7 @@ def main(cfg: Config = None) -> None:
     trainer = Trainer(cfg, n_user=n_user, n_item=n_item, train_csr=train_data)
     print("models ready.")
     from gdmcf_tpu.utils.logging import MetricLogger
-    metric_logger = MetricLogger(out_path, echo=False)
+    metric_logger = MetricLogger(out_path, echo=False, text=cfg.debug)
     state, best = trainer.fit(train_data, valid_y_data, test_y_data,
                               metric_logger=metric_logger)
     metric_logger.close()

@@ -193,6 +193,11 @@ class Config:
             raise ValueError("compute_dtype must be bfloat16 or float32")
         if self.wire_format not in ("packed", "f32"):
             raise ValueError("wire_format must be packed or f32")
+        if self.OneHotMatrix == 1 and not self.drop_last:
+            raise ValueError(
+                "OneHotMatrix=1 sizes the model input as n_item + batch_size"
+                " (ref main.py:198-206): a trailing partial batch cannot run"
+                " through it — keep drop_last=true")
         if self.opt_moment_dtype not in ("bfloat16", "float32"):
             raise ValueError("opt_moment_dtype must be bfloat16 or float32")
         if self.opt_impl not in ("auto", "inline", "fused", "optax"):
@@ -298,8 +303,9 @@ def parse_args(argv: Optional[List[str]] = None) -> Config:
         flag = f"--{f.name}"
         if f.type in ("bool", bool):
             # reference uses type=bool / store_true; accept explicit values
+            # (argparse hands type= strings only; _coerce parses them later)
             parser.add_argument(flag, nargs="?", const=True, default=None,
-                                type=lambda s: s if isinstance(s, bool) else s)
+                                type=str)
         elif f.name in ("dims", "topN"):
             parser.add_argument(flag, default=None, type=str,
                                 help="YAML list, e.g. [1000]")

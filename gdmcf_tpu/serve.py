@@ -33,6 +33,14 @@ class Recommender:
         self.trainer = trainer
         self.params = params
         self.history = history
+        if trainer.cfg.OneHotMatrix == 1:
+            # the block-one-hot model's input width is n_item + batch_size
+            # (Config.out_dims): any other batch dim cannot run through it
+            if serve_batch != trainer.cfg.batch_size:
+                raise ValueError(
+                    f"OneHotMatrix=1 checkpoints serve only at serve_batch ="
+                    f" batch_size ({trainer.cfg.batch_size}); got "
+                    f"{serve_batch}")
         self.serve_batch = serve_batch
         # ONE program is compiled, at k_max; any k <= k_max is served by
         # slicing its (score-sorted) result — no recompiles on traffic
@@ -77,6 +85,14 @@ class Recommender:
             raise ValueError(f"k={k} outside [1, k_max={self.k_max}] — the "
                              "serving program is compiled once at k_max")
         user_ids = np.asarray(user_ids, dtype=np.int32)
+        n_user = len(self.history)
+        if user_ids.size == 0:
+            raise ValueError("recommend() needs at least one user id")
+        if user_ids.min() < 0 or user_ids.max() >= n_user:
+            # out-of-range ids would reach the native C++ gather unchecked
+            # (indptr[u] reads out of bounds: garbage rows or a segfault)
+            raise ValueError(f"user ids must be in [0, {n_user}); got "
+                             f"min={user_ids.min()} max={user_ids.max()}")
         results = []
         for start in range(0, len(user_ids), self.serve_batch):
             chunk = user_ids[start:start + self.serve_batch]
@@ -99,9 +115,28 @@ class Recommender:
         return np.concatenate(results, axis=0), user_ids
 
 
+def build_recommender(cfg: Config, ckpt_dir, train_csr, n_user: int,
+                      n_item: int, warmup: bool = True,
+                      **kw) -> "Recommender":
+    """Shared entry-point plumbing for serve/serve_http: resolve the
+    checkpoint (falling back to fresh-init demo mode), build, warm up."""
+    import os
+
+    if ckpt_dir and os.path.isdir(ckpt_dir):
+        rec = Recommender.from_checkpoint(cfg, ckpt_dir, train_csr, **kw)
+        print(f"loaded checkpoint from {ckpt_dir}")
+    else:
+        trainer = Trainer(cfg, n_user, n_item, train_csr=train_csr)
+        rec = Recommender.from_state(trainer, trainer.init_state(),
+                                     train_csr, **kw)
+        print("no checkpoint; serving from fresh init (demo mode)")
+    if warmup:
+        rec.warmup()
+    return rec
+
+
 def main(argv=None):
     import argparse
-    import os
     import time
 
     from gdmcf_tpu.config import parse_args
@@ -114,21 +149,15 @@ def main(argv=None):
     serve_flags.add_argument("--ckpt_dir_serve", default=None)
     serve_flags.add_argument("--k", type=int, default=20)
     serve_flags.add_argument("--users", type=str, default="0,1,2,3")
+    serve_flags.add_argument("--serve_batch", type=int, default=256)
+    serve_flags.add_argument("--k_max", type=int, default=100)
     ns, rest = serve_flags.parse_known_args(args)
     cfg = parse_args(rest)
 
     train, valid, test, n_user, n_item = data_load_dir(cfg.data_path)
-
-    ckpt = ns.ckpt_dir_serve or cfg.ckpt_dir
-    if ckpt and os.path.isdir(ckpt):
-        rec = Recommender.from_checkpoint(cfg, ckpt, train)
-        print(f"loaded checkpoint from {ckpt}")
-    else:
-        trainer = Trainer(cfg, n_user, n_item, train_csr=train)
-        rec = Recommender.from_state(trainer, trainer.init_state(), train)
-        print("no checkpoint; serving from fresh init (demo mode)")
-
-    rec.warmup()
+    rec = build_recommender(cfg, ns.ckpt_dir_serve or cfg.ckpt_dir, train,
+                            n_user, n_item, serve_batch=ns.serve_batch,
+                            k_max=ns.k_max)
     users = [int(u) for u in ns.users.split(",")]
     t0 = time.perf_counter()
     items, uids = rec.recommend(users, k=ns.k)

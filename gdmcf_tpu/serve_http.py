@@ -74,7 +74,10 @@ def make_server(recommender, host: str = "127.0.0.1", port: int = 8080
                     users = [int(u) for u in q.get("users", [""])[0].split(",")
                              if u != ""]
                     k = int(q.get("k", ["20"])[0])
-                    exclude = q.get("exclude_history", ["true"])[0] != "false"
+                    # same truthy convention as the config bool flags (the
+                    # old `!= "false"` made "False"/"0" silently truthy)
+                    exclude = (q.get("exclude_history", ["true"])[0]
+                               .strip().lower() in ("1", "true", "yes", "y"))
                 except ValueError:
                     self._reply(400, {"error": "malformed query"})
                     return
@@ -108,8 +111,7 @@ def main(argv=None):
 
     from gdmcf_tpu.config import parse_args
     from gdmcf_tpu.data.loader import data_load_dir
-    from gdmcf_tpu.serve import Recommender
-    from gdmcf_tpu.train.trainer import Trainer
+    from gdmcf_tpu.serve import build_recommender
 
     args = argv if argv is not None else sys.argv[1:]
     http_flags = argparse.ArgumentParser(add_help=False)
@@ -123,19 +125,9 @@ def main(argv=None):
 
     train, _, _, n_user, n_item = data_load_dir(cfg.data_path)
 
-    ckpt = ns.ckpt_dir_serve or cfg.ckpt_dir
-    if ckpt and os.path.isdir(ckpt):
-        rec = Recommender.from_checkpoint(cfg, ckpt, train,
-                                          serve_batch=ns.serve_batch,
-                                          k_max=ns.k_max)
-        print(f"loaded checkpoint from {ckpt}")
-    else:
-        trainer = Trainer(cfg, n_user, n_item, train_csr=train)
-        rec = Recommender.from_state(trainer, trainer.init_state(), train,
-                                     serve_batch=ns.serve_batch,
-                                     k_max=ns.k_max)
-        print("no checkpoint; serving from fresh init (demo mode)")
-    rec.warmup()
+    rec = build_recommender(cfg, ns.ckpt_dir_serve or cfg.ckpt_dir, train,
+                            n_user, n_item, serve_batch=ns.serve_batch,
+                            k_max=ns.k_max)
     srv = make_server(rec, ns.host, ns.port)
     print(f"serving on http://{ns.host}:{srv.server_address[1]}", flush=True)
     srv.serve_forever()

@@ -495,17 +495,23 @@ class Trainer:
 
     def evaluate(self, state: TrainState, eval_rows: np.ndarray,
                  gt_matrix: np.ndarray, mask_matrix: np.ndarray,
-                 topn, key: Optional[jax.Array] = None):
+                 topn, key: Optional[jax.Array] = None,
+                 drop_last: Optional[bool] = None):
         """Rank the catalog for each eval row and compute Precision/Recall/NDCG/MRR.
 
         eval_rows: the model inputs (train interaction rows, ref main.py:156)
         gt_matrix: ground-truth split (valid or test)
         mask_matrix: history to exclude (train, or train+valid for test)
+        drop_last: None = cfg.drop_last. fit() passes False for the
+        tst_w_val test eval — the reference's test_twv_loader is the one
+        loader built WITHOUT drop_last (ref main.py:176), so it scores the
+        trailing partial batch while the others drop it.
         """
         cfg = self.cfg
         if key is None:
             key = jax.random.PRNGKey(cfg.random_seed + 12345)
-        cached = self._prepare_eval_batches(eval_rows, mask_matrix)
+        cached = self._prepare_eval_batches(eval_rows, mask_matrix,
+                                            drop_last=drop_last)
         all_idx = []
         kept_users = []
         top_k = int(max(topn))  # unsorted topN still ranks enough items
@@ -583,7 +589,8 @@ class Trainer:
         return compute_topn_accuracy(gt_matrix[users], pred, topn)
 
     def _prepare_eval_batches(self, eval_rows: np.ndarray,
-                              mask_matrix: np.ndarray):
+                              mask_matrix: np.ndarray,
+                              drop_last: Optional[bool] = None):
         """Device-resident eval batches, cached across eval epochs: the rows
         and masks are constant during training, so uploading them once saves
         ~(2 x dataset size) of host->device transfer per eval.
@@ -591,17 +598,18 @@ class Trainer:
         Cache entries hold references to the source arrays and are matched
         with ``is`` — never ``id()`` of a possibly-collected temporary, whose
         address a different same-shape array could recycle (stale batches)."""
+        drop = self.cfg.drop_last if drop_last is None else drop_last
         cache = getattr(self, "_eval_cache", None)
         if cache is None:
             cache = self._eval_cache = []
-        for rows_ref, mask_ref, bs_key, batches in cache:
+        for rows_ref, mask_ref, bs_key, drop_key, batches in cache:
             if (rows_ref is eval_rows and mask_ref is mask_matrix
-                    and bs_key == self.cfg.batch_size):
+                    and bs_key == self.cfg.batch_size and drop_key == drop):
                 return batches
         cfg = self.cfg
         n = eval_rows.shape[0]
         bs = cfg.batch_size
-        stop = (n // bs) * bs if cfg.drop_last else n
+        stop = (n // bs) * bs if drop else n
         if stop == 0 and n > 0:
             stop = n  # serve the single partial batch (see epoch_batches)
         from gdmcf_tpu.ops.bitpack import is_binary
@@ -640,11 +648,12 @@ class Trainer:
             batches.append((start, rows, uids, mask, sharded))
         if len(cache) >= 4:  # bound device-memory held by cached splits
             cache.pop(0)
-        cache.append((eval_rows, mask_matrix, cfg.batch_size, batches))
+        cache.append((eval_rows, mask_matrix, cfg.batch_size, drop, batches))
         return batches
 
     def evaluate_streaming(self, state: TrainState, input_csrs, gt_csr,
-                           mask_csrs, topn, key=None):
+                           mask_csrs, topn, key=None,
+                           drop_last: Optional[bool] = None):
         """Large-catalog eval: batches assembled from NativeCSR (O(nnz) host
         memory), metrics streamed through MetricAccumulator — nothing dense
         of size [n_user, n_item] ever materializes on the host.
@@ -659,7 +668,8 @@ class Trainer:
             key = jax.random.PRNGKey(cfg.random_seed + 12345)
         n = len(input_csrs[0])
         bs = cfg.batch_size
-        stop = (n // bs) * bs if cfg.drop_last else n
+        drop = cfg.drop_last if drop_last is None else drop_last
+        stop = (n // bs) * bs if drop else n
         if stop == 0 and n > 0:
             stop = n  # serve the single partial batch (see epoch_batches)
         acc = MetricAccumulator(topn)
@@ -779,7 +789,12 @@ class Trainer:
             latest = checkpointer.latest_step()
             if latest is not None:
                 state = checkpointer.restore(state)
-                steps_per_epoch = max(len(dataset) // cfg.batch_size, 1)
+                # ceil when partial batches train (drop_last=False); multi
+                # -host always drops (train_epoch forces it)
+                drop = cfg.drop_last or jax.process_count() > 1
+                n_b, bs_ = len(dataset), cfg.batch_size
+                steps_per_epoch = max(
+                    n_b // bs_ if drop else -(-n_b // bs_), 1)
                 start_epoch = int(state.step) // steps_per_epoch + 1
                 log(f"resumed from checkpoint at step {int(state.step)} "
                     f"(epoch {start_epoch})")
@@ -809,9 +824,12 @@ class Trainer:
                         state, train_rows, valid_gt, train_rows, topn)
                     if cfg.tst_w_val:
                         # input rows == history mask here (train+valid); reuse
-                        # the hoisted mask_tv so the eval-batch cache hits
+                        # the hoisted mask_tv so the eval-batch cache hits.
+                        # drop_last=False: the reference's test_twv_loader is
+                        # built without drop_last (ref main.py:176)
                         test_results = self.evaluate(
-                            state, mask_tv, test_gt, mask_tv, topn)
+                            state, mask_tv, test_gt, mask_tv, topn,
+                            drop_last=False)
                     else:
                         test_results = self.evaluate(
                             state, train_rows, test_gt, mask_tv, topn)
@@ -821,7 +839,8 @@ class Trainer:
                     test_inputs = ([train_n, valid_n] if cfg.tst_w_val
                                    else [train_n])
                     test_results = self.evaluate_streaming(
-                        state, test_inputs, test_n, [train_n, valid_n], topn)
+                        state, test_inputs, test_n, [train_n, valid_n], topn,
+                        drop_last=False if cfg.tst_w_val else None)
                 print_results(None, valid_results, test_results)
                 if metric_logger is not None:
                     metric_logger.eval_results(epoch, "valid", topn, valid_results)

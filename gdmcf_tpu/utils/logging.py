@@ -12,14 +12,20 @@ from typing import Optional, TextIO
 
 
 class MetricLogger:
-    def __init__(self, out_dir: Optional[str] = None, echo: bool = True):
+    def __init__(self, out_dir: Optional[str] = None, echo: bool = True,
+                 text: bool = True):
+        """``text=False`` skips the output_NDCG.txt handle — pass it when
+        sys.stdout is already redirected to that file (cli.py non-debug
+        mode): two live buffered handles on one file interleave badly."""
         self.echo = echo
         self._jsonl: Optional[TextIO] = None
         self._text: Optional[TextIO] = None
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
             self._jsonl = open(os.path.join(out_dir, "metrics.jsonl"), "a")
-            self._text = open(os.path.join(out_dir, "output_NDCG.txt"), "a")
+            if text:
+                self._text = open(os.path.join(out_dir, "output_NDCG.txt"),
+                                  "a")
 
     def log(self, message: str) -> None:
         if self.echo:

@@ -34,10 +34,13 @@ class StepTimer:
         self._timed_steps = 0
 
     def tick(self) -> None:
-        self._count += 1
-        if self._count == self.warmup:
+        # clock starts as the first post-warmup tick begins — checking
+        # BEFORE the increment keeps warmup=0 working (the old post
+        # -increment equality never fired and reported 0.0 forever)
+        if self._count == self.warmup and self._t0 is None:
             self._t0 = time.perf_counter()
-        elif self._count > self.warmup:
+        self._count += 1
+        if self._count > self.warmup:
             self._timed_steps += 1
 
     def steps_per_s(self) -> float:

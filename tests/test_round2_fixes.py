@@ -424,3 +424,75 @@ def test_bf16_moments_checkpoint_roundtrip(tmp_path):
         assert a.dtype == b.dtype
         np.testing.assert_array_equal(np.asarray(a, dtype=np.float32),
                                       np.asarray(b, dtype=np.float32))
+
+
+# ---------------------------------------------------------------------------
+# review-fix batch 3: loud guards
+# ---------------------------------------------------------------------------
+
+def test_cli_refuses_to_clobber_partial_dataset(tmp_path, monkeypatch):
+    """data_path without train_list.npy but WITH sibling splits must refuse
+    the synthetic fallback (it would overwrite the user's dataset)."""
+    from gdmcf_tpu import cli
+
+    d = tmp_path / "data"
+    d.mkdir()
+    np.save(d / "valid_list.npy", np.zeros((2, 2), dtype=np.int64))
+    cfg = Config(data_path=str(d), debug=True, epochs=0,
+                 log_name=str(tmp_path / "logs"))
+    with pytest.raises(FileNotFoundError, match="refusing"):
+        cli.main(cfg)
+
+
+def test_recommend_rejects_out_of_range_users(tmp_path):
+    from gdmcf_tpu.data.loader import data_load, generate_synthetic_dataset
+    from gdmcf_tpu.serve import Recommender
+
+    paths = generate_synthetic_dataset(str(tmp_path / "d"), n_user=24,
+                                       n_item=20, avg_degree=5, seed=2)
+    train, _, _, n_user, n_item = data_load(*paths)
+    cfg = Config(backbone="DNN", dims=[8], emb_size=10, steps=5,
+                 batch_size=8, sampling_steps=0)
+    t = Trainer(cfg, n_user, n_item)
+    rec = Recommender.from_state(t, t.init_state(), train, serve_batch=8)
+    with pytest.raises(ValueError, match="user ids"):
+        rec.recommend([0, n_user], k=5)
+    with pytest.raises(ValueError, match="user ids"):
+        rec.recommend([-1], k=5)
+
+
+def test_tst_w_val_eval_keeps_partial_batch(tmp_path):
+    """The reference's test_twv_loader is built WITHOUT drop_last
+    (main.py:176): with tst_w_val the test eval must score ALL users even
+    when n_user % batch_size != 0 (valid still drops)."""
+    from gdmcf_tpu.data.loader import data_load, generate_synthetic_dataset
+
+    paths = generate_synthetic_dataset(str(tmp_path / "d"), n_user=20,
+                                       n_item=16, avg_degree=5, seed=4)
+    train, valid, test, n_user, n_item = data_load(*paths)
+    cfg = Config(backbone="DNN", dims=[8], emb_size=10, steps=5,
+                 batch_size=16, sampling_steps=0, epochs=1, eval_every=1,
+                 tst_w_val=True, drop_last=True, topN=[5, 10])
+    t = Trainer(cfg, n_user, n_item)
+    seen = []
+    orig = t.evaluate
+
+    def spy(state, rows, gt, mask, topn, **kw):
+        res = orig(state, rows, gt, mask, topn, **kw)
+        seen.append((gt.shape[0], kw.get("drop_last")))
+        return res
+
+    t.evaluate = spy
+    t.fit(train, valid, test, log=lambda *a, **k: None)
+    # valid eval drops (default), test eval passes drop_last=False
+    assert (n_user, None) in seen or (n_user,) in [s[:1] for s in seen]
+    assert any(kw is False for _n, kw in seen)
+
+
+def test_steptimer_warmup_zero():
+    from gdmcf_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(warmup=0)
+    for _ in range(3):
+        t.tick()
+    assert t.steps_per_s() > 0.0
