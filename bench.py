@@ -136,7 +136,9 @@ def main():
     # 100 fused steps/dispatch amortize the relay's ~2.5 ms launch floor, the
     # hardware RNG wins ~5% on the big per-step bernoulli/normal draws, and
     # f32 params beat bf16+master at this model size (34 MB of params).
-    ap.add_argument("--iters", type=int, default=200)
+    # 1000 iters = 10 timed dispatches at the default k=100 (200 gave only
+    # 2 — too few for a stable round-record number; ~2 s extra wall)
+    ap.add_argument("--iters", type=int, default=1000)
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--metric", choices=["train", "infer"], default="train")
     ap.add_argument("--measure-baseline", action="store_true")
