@@ -122,9 +122,12 @@ def measure_infer(batch=1024, iters=20, warmup=3, seed=0, top_k=100):
         t0 = time.perf_counter()
         run(sub)
         times.append(time.perf_counter() - t0)
+    # salt the INPUT, not just the key: at sampling_steps=0 the eval step is
+    # key-independent, so a key-only salt leaves the scan body loop-invariant
+    # and XLA hoists it (the dead-salt trap ab_eval_topk.py documents)
     onchip = scan_timeit(
         lambda p, x, i, m, s: trainer._eval_step_impl(
-            p, x, i, m, jax.random.fold_in(key, s),
+            p, x + s * 1e-12, i, m, jax.random.fold_in(key, s),
             sampling_steps=0, top_k=top_k),
         state.params, x, idx, x, k=50, calls=6)
     return float(np.median(times) * 1000.0), float(onchip)

@@ -29,6 +29,13 @@ def main():
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--dims", type=int, default=1000)
     args = ap.parse_args()
+    # k-fusion only engages when an epoch has >= k batches (train_epoch runs
+    # the remainder as single steps); cap it so the A/B actually measures
+    # the fused path instead of 15 dispatch-floor-dominated single steps
+    n_batches = max(args.users // args.batch, 1)
+    if args.k > n_batches:
+        print(f"capping k {args.k} -> {n_batches} (batches per epoch)")
+        args.k = n_batches
 
     from gdmcf_tpu.config import Config
     from gdmcf_tpu.data.loader import DiffusionDataset

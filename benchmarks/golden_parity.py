@@ -3,11 +3,12 @@
     python benchmarks/golden_parity.py --ref /tmp/ref_parity_s*.json \
         --ours /tmp/jax_parity.json [--markdown]
 
-Checks (distributional parity — torch/JAX RNG streams differ by design):
-  * final-quarter mean training loss within the cross-seed band of the other
-    side (loss scales are comparable: same objective, same data, same recipe)
-  * best-epoch test Recall@20 / NDCG@20 within the union of both sides'
-    seed-to-seed ranges (widened by --tolerance)
+Checks (distributional parity — torch/JAX RNG streams differ by design).
+GATING: tail training loss and FINAL-eval Recall@20 / NDCG@20 must fall
+within the reference's cross-seed band (widened by --tolerance). Best-epoch
+metrics are REPORTED but deliberately not gated: the quirk-selected "best"
+is a knife-edge stopping time whose epoch can differ across frameworks at
+identical quality.
 """
 
 from __future__ import annotations

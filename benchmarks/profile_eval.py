@@ -64,14 +64,18 @@ def main():
     ms_fwd = timeit(fwd, state.params, x, t, x_U, idx)
     print(f"[{args.rng}] 1 model forward:      {ms_fwd:8.2f} ms", flush=True)
 
+    # x + s*1e-12: at sampling_steps=0 these are key-INDEPENDENT — a key
+    # -only salt leaves the body loop-invariant and XLA hoists it (the trap
+    # this file's docstring warns about; the fwd case above salts the same way)
     psample = jax.jit(lambda p, x, i, s: trainer.diffusion.p_sample(
-        trainer.model.apply, p, x, i, jax.random.fold_in(key, s),
-        sampling_steps=0))
+        trainer.model.apply, p, x + s * 1e-12, i,
+        jax.random.fold_in(key, s), sampling_steps=0))
     ms_ps = timeit(psample, state.params, x, idx)
     print(f"[{args.rng}] p_sample (5 steps):   {ms_ps:8.2f} ms", flush=True)
 
     eval_fn = jax.jit(lambda p, x, i, m, s: trainer._eval_step_impl(
-        p, x, i, m, jax.random.fold_in(key, s), sampling_steps=0, top_k=100))
+        p, x + s * 1e-12, i, m, jax.random.fold_in(key, s),
+        sampling_steps=0, top_k=100))
     ms_eval = timeit(eval_fn, state.params, x, idx, x)
     print(f"[{args.rng}] full eval step:       {ms_eval:8.2f} ms", flush=True)
 

@@ -111,9 +111,10 @@ def main():
                           indices_are_sorted=True),
             (rr, rc, rv, x_items)),
         ("scatter only w128", lambda rr, rc, rv, x, s:
-            jnp.zeros((y_rows, 128), jnp.float32)
+            jnp.zeros((y_rows, max(128, x.shape[1])), jnp.float32)
               .at[rr].add(jnp.pad(rv[:, None] * (x[rc, :] + s * 1e-12),
-                                  ((0, 0), (0, 128 - x.shape[1]))),
+                                  ((0, 0),
+                                   (0, max(0, 128 - x.shape[1])))),
                           indices_are_sorted=True),
             (rr, rc, rv, x_items)),
         ("coo fwd replica", lambda rr, rc, rv, x, s:

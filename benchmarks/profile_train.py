@@ -28,11 +28,13 @@ def chunk_time(fn, arg, iters=30, chunk=10):
             out, s = fn(out)
         float(s)
     wall = time.perf_counter() - t0
-    # subtract fetch RTT
-    t0 = time.perf_counter()
-    for _ in range(3):
-        float(s)
-    rtt = (time.perf_counter() - t0) / 3
+    # subtract the per-chunk dispatch+fetch floor, measured with FRESH
+    # dispatches (float() on the already-materialized s reads the cached
+    # value in ~0 and would subtract nothing). NOTE: this per-dispatch
+    # protocol still pays the ~2.5 ms execute floor per chunk — treat its
+    # attributions as coarse; _timing.scan_timeit is the trustworthy form.
+    from _timing import dispatch_floor
+    rtt = dispatch_floor()
     return max(wall - (iters // chunk) * rtt, 1e-9) / iters * 1000
 
 

@@ -36,11 +36,10 @@ def fused_time(trainer, iters, k):
     iis = jnp.broadcast_to(idx, (k,) + idx.shape)
     state, losses = trainer._train_multi(state, xs, iis)
     assert np.isfinite(float(losses.sum()))
-    s = losses.sum()
-    t0 = time.perf_counter()
-    for _ in range(5):
-        float(s)
-    rtt = (time.perf_counter() - t0) / 5
+    # FRESH dispatches for the floor: float() on one already-materialized
+    # scalar reads the cached value (~0) and under-subtracts the RTT ~5x
+    from _timing import dispatch_floor
+    rtt = dispatch_floor()
     n_calls = max(iters // k, 2)
     t0 = time.perf_counter()
     for _ in range(n_calls):

@@ -84,7 +84,9 @@ def main():
             x = (rng.random((args.batch, args.items)) < 1e-4
                  ).astype(np.float32)
             idx = rng.integers(0, args.users, args.batch).astype(np.int32)
-            xs, idxs = trainer._put_batch(jnp.asarray(x), jnp.asarray(idx))
+            # host arrays go straight to _put_batch: an early jnp.asarray
+            # commits the full dense batch to one device before resharding
+            xs, idxs = trainer._put_batch(x, idx)
             t1 = time.time()
             state, loss = trainer._train_step(state, xs, idxs)
             loss = float(loss)  # value fetch: forces execution

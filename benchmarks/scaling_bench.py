@@ -61,20 +61,27 @@ def measure_mesh(dp: int, mp: int, per_chip_batch: int, n_item: int,
     # eval-step throughput on the same mesh (dp-sharded multi-host eval:
     # each host scores its slice; output stays sharded — only metric sums
     # would cross hosts in a real evaluate())
+    import jax.numpy as jnp
     key = jax.random.PRNGKey(0)
-    ev = lambda: trainer._eval_step(state.params, xs, idxs, xs, key,
-                                    sampling_steps=0, top_k=100,
-                                    shard_out=nproc > 1)
+    salt = jnp.float32(1e-12)
+
+    def ev(i):
+        # salt the INPUT per call: at sampling_steps=0 the step is key
+        # -independent, and byte-identical data-independent dispatches can
+        # be elided on relayed backends
+        return trainer._eval_step(state.params, xs + i * salt, idxs, xs,
+                                  key, sampling_steps=0, top_k=100,
+                                  shard_out=nproc > 1)
 
     def sync(a):  # sharded outputs are not fully addressable multi-host
         jax.block_until_ready(a)
         np.asarray(a.addressable_shards[0].data)  # value fetch (dev relays)
 
-    sync(ev())  # compile
+    sync(ev(0))  # compile
     t0 = time.perf_counter()
     pred = None
-    for _ in range(iters):
-        pred = ev()
+    for i in range(iters):
+        pred = ev(i + 1)
     sync(pred)
     eval_ups = batch * iters / (time.perf_counter() - t0)
     return train_eps, eval_ups
