@@ -116,3 +116,18 @@ def test_concurrent_requests(server):
     for t in threads:
         t.join()
     assert results == [200] * 6
+
+
+def test_get_exclude_history_false_variants(server):
+    """GET exclude_history accepts the config truthy convention: 'False' and
+    '0' must disable history masking (the old parse treated any string
+    other than exact lowercase 'false' as true)."""
+    rec, base = server
+    with_hist, _ = rec.recommend([0], k=5, exclude_history=False)
+    for v in ("false", "False", "0", "no"):
+        code, body = _get(base + f"/recommend?users=0&k=5&exclude_history={v}")
+        assert code == 200
+        np.testing.assert_array_equal(np.asarray(body["items"]), with_hist)
+    masked, _ = rec.recommend([0], k=5, exclude_history=True)
+    code, body = _get(base + "/recommend?users=0&k=5&exclude_history=true")
+    np.testing.assert_array_equal(np.asarray(body["items"]), masked)
