@@ -31,6 +31,11 @@ import scipy.sparse as sp
 
 from gdmcf_tpu.models.layers import xavier_uniform
 
+# dense [n_user, n_item] blocks above this switch pretrain to sparse
+# propagation and disable the dense ranking eval (module-level so tests can
+# exercise the guard without materializing a 2 GiB matrix)
+_DENSE_LIMIT_BYTES = 2 << 30
+
 
 def normalized_bipartite_blocks(train_csr: sp.spmatrix,
                                 eps: float = 1e-9) -> np.ndarray:
@@ -252,8 +257,8 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
     e0 = xavier_uniform(key, (n_user + n_item, latent_dim))
     dense_bytes = n_user * n_item * 4
     if sparse is None:
-        sparse = dense_bytes > (2 << 30)
-    if evaluate and dense_bytes > (2 << 30):
+        sparse = dense_bytes > _DENSE_LIMIT_BYTES
+    if evaluate and dense_bytes > _DENSE_LIMIT_BYTES:
         # the eval path materializes train/test dense masks AND the
         # [n_user, n_item] score matrix — impossible at the scales that
         # force sparse propagation; fall back to loss-only training

@@ -167,8 +167,12 @@ def main():
     # hosts in raw device order): the uids-based row mapping must still pair
     # predictions with the right ground-truth rows
     devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
-    inter = np.asarray([devs[0], devs[2], devs[1], devs[3]]).reshape(4, 1)
-    cfg_x = dataclasses.replace(cfg2, mesh_dp=4, mesh_mp=1)
+    nloc = len(devs) // nproc
+    # round-robin the hosts: dp blocks owned h0,h1,...,h0,h1,... for ANY
+    # nproc (a hardcoded 4-device order would break a wider smoke)
+    inter = np.asarray([devs[h * nloc + j] for j in range(nloc)
+                        for h in range(nproc)]).reshape(len(devs), 1)
+    cfg_x = dataclasses.replace(cfg2, mesh_dp=len(devs), mesh_mp=1)
     tr4 = Trainer(cfg_x, n_user, n_item)
     tr4.mesh = Mesh(inter, ("dp", "mp"))  # blocks owned h0,h1,h0,h1
     tr5 = Trainer(dataclasses.replace(cfg_x, eval_replicated=True),

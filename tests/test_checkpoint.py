@@ -102,5 +102,6 @@ def test_fit_resume_from_checkpoint(tmp_path):
     logs2 = []
     state2, _ = t2.fit(train, valid, test, log=logs2.append)
     assert any("resumed from checkpoint" in l for l in logs2)
-    # resumed run continues beyond the first run's steps
-    assert int(state2.step) > int(state1.step) - 2 * (n_user // 8)
+    # the resumed run keeps the restored step counter and adds exactly the
+    # remaining 2 epochs (a from-scratch retrain would end at 2 epochs' steps)
+    assert int(state2.step) == 4 * (n_user // 8)

@@ -26,7 +26,7 @@ def test_build_csr_matches_scipy(rng):
     ref = sp.csr_matrix((np.ones(len(edges)), (edges[:, 0], edges[:, 1])),
                         shape=(n_user, n_item))
     np.testing.assert_array_equal(csr.indptr, ref.indptr)
-    np.testing.assert_array_equal(np.sort(csr.indices), np.sort(ref.indices))
+    np.testing.assert_array_equal(csr.indices, ref.indices)  # both canonical per-row-sorted CSRs: exact, row-association preserved
     # per-row sorted
     for u in range(n_user):
         row = csr.indices[csr.indptr[u]:csr.indptr[u + 1]]
@@ -106,8 +106,7 @@ def test_numpy_fallback_matches_native(rng, monkeypatch):
     monkeypatch.setattr(native, "_ensure_lib", lambda: None)
     fallback_csr = NativeCSR.from_edge_list(edges, n_user, n_item)
     np.testing.assert_array_equal(fallback_csr.indptr, native_csr.indptr)
-    np.testing.assert_array_equal(np.sort(fallback_csr.indices),
-                                  np.sort(native_csr.indices))
+    np.testing.assert_array_equal(fallback_csr.indices, native_csr.indices)
     batch_fb = fallback_csr.gather(rows)
     np.testing.assert_array_equal(batch_fb, batch_native)
     # BPR fallback: validity (RNG differs from the C++ splitmix64 stream)

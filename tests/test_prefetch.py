@@ -68,7 +68,10 @@ def test_abandoned_consumer_stops_producer():
     produced_at_close = alive["n"]
     time.sleep(0.5)
     assert alive["n"] == produced_at_close  # producer stopped
-    assert threading.active_count() <= started + 1
+    # the producer THREAD must have exited (== started): a producer parked
+    # forever in a blocking put would freeze the counter too, but leaves
+    # one extra live thread — `started + 1` could not catch that regression
+    assert threading.active_count() <= started
 
 
 def test_trainer_prefetch_equivalence(tmp_path):

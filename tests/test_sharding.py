@@ -97,9 +97,12 @@ def test_mesh_trainer_end_to_end():
     state, best = trainer.fit(train, valid, test, log=logs.append)
     assert best is not None
     assert all(0.0 <= v <= 1.0 for v in best[1])
-    # params actually live sharded on the mesh
+    # params actually live SHARDED on the mesh — device_set covers 8 devices
+    # for replicated arrays too, so check the spec and the shard shape
     item_table = state.params["embedding_item"]
-    assert len(item_table.sharding.device_set) == 8
+    assert item_table.sharding.spec[0] == "mp", item_table.sharding
+    shard_rows = {s.data.shape[0] for s in item_table.addressable_shards}
+    assert shard_rows == {item_table.shape[0] // 2}  # mp=2 row shards
 
 
 def test_multihost_helpers_single_host():
@@ -107,7 +110,12 @@ def test_multihost_helpers_single_host():
     multihost.initialize()  # no coordinator -> no-op
     assert multihost.is_main_process()
     multihost.sync_hosts(devices=cpu_devices)  # psum barrier over 8 cpu devs
-    mesh = multihost.global_mesh(dp=4, mp=2) if len(jax.devices()) >= 8 else None
+    if len(jax.devices()) >= 8:  # default devices (axon container: 1 TPU)
+        mesh = multihost.global_mesh(dp=4, mp=2)
+        assert dict(mesh.shape) == {"dp": 4, "mp": 2}
+        # process-major order contract (single host: sorted by id)
+        flat = list(mesh.devices.flat)
+        assert flat == sorted(flat, key=lambda d: (d.process_index, d.id))
 
 
 @pytest.mark.parametrize("n", [2, 4])

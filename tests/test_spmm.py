@@ -11,9 +11,11 @@ from gdmcf_tpu.ops.spmm import BlockSparse, spmm, spmm_reference, to_block_spars
 
 
 def random_sparse(rng, n_rows, n_cols, density=0.02):
-    m = sp.random(n_rows, n_cols, density=density, random_state=np.random.RandomState(0),
-                  dtype=np.float32, format="csr")
-    return m
+    # derive the pattern from the fixture rng (a pinned RandomState(0) made
+    # every test see one fixed matrix per shape, silently ignoring seeds)
+    state = np.random.RandomState(int(rng.integers(2**31 - 1)))
+    return sp.random(n_rows, n_cols, density=density, random_state=state,
+                     dtype=np.float32, format="csr")
 
 
 def test_block_format_roundtrip(rng):
