@@ -29,4 +29,24 @@ if _os.environ.get("GDMCF_DEVICE", "").lower() == "cpu":
 
 from gdmcf_tpu.config import Config, load_config
 
-__all__ = ["Config", "load_config", "__version__"]
+__all__ = ["Config", "load_config", "Trainer", "Diffusion", "Recommender",
+           "import_reference_checkpoint", "__version__"]
+
+_LAZY = {
+    # public API surface, imported on first access (keeps bare
+    # `import gdmcf_tpu` free of the jax/orbax import cost)
+    "Trainer": ("gdmcf_tpu.train.trainer", "Trainer"),
+    "Diffusion": ("gdmcf_tpu.diffusion.engine", "Diffusion"),
+    "Recommender": ("gdmcf_tpu.serve", "Recommender"),
+    "import_reference_checkpoint": ("gdmcf_tpu.compat",
+                                    "import_reference_checkpoint"),
+}
+
+
+def __getattr__(name):  # PEP 562
+    try:
+        mod, attr = _LAZY[name]
+    except KeyError:
+        raise AttributeError(f"module 'gdmcf_tpu' has no attribute {name!r}")
+    import importlib
+    return getattr(importlib.import_module(mod), attr)

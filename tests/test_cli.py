@@ -69,3 +69,17 @@ def test_dims_and_out_dims_onehot1():
     cfg = Config(dims=[300, 1000], batch_size=7, OneHotMatrix=1)
     assert cfg.out_dims(50) == [300, 1000, 57]
     assert cfg.in_dims(50) == [57, 1000, 300]
+
+
+def test_package_lazy_api_exports():
+    """`from gdmcf_tpu import Trainer, Recommender, ...` works (PEP 562
+    lazy exports keep bare import cheap); unknown names raise."""
+    import gdmcf_tpu
+
+    assert gdmcf_tpu.Trainer.__name__ == "Trainer"
+    assert gdmcf_tpu.Recommender.__name__ == "Recommender"
+    assert gdmcf_tpu.Diffusion.__name__ == "Diffusion"
+    assert callable(gdmcf_tpu.import_reference_checkpoint)
+    import pytest
+    with pytest.raises(AttributeError):
+        gdmcf_tpu.not_a_thing
