@@ -172,6 +172,10 @@ class Config:
     # checkpointing
     ckpt_dir: Optional[str] = None
     resume: bool = False
+    # also checkpoint every N epochs into <ckpt_dir>/periodic (own rotation,
+    # so plateau preemptions don't lose work and periodic saves can never
+    # rotate out the best-eval checkpoint). 0 disables.
+    ckpt_every: int = 0
 
     def __post_init__(self):
         if isinstance(self.topN, str):

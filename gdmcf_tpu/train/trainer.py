@@ -18,6 +18,7 @@ history masking, and top-k on device); the host loop only moves batches.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -783,12 +784,27 @@ class Trainer:
         if checkpointer is None and cfg.ckpt_dir:
             from gdmcf_tpu.train.checkpoint import Checkpointer
             checkpointer = Checkpointer(cfg.ckpt_dir)
+        periodic = None
+        if checkpointer is not None and cfg.ckpt_every > 0:
+            # separate stream with its own rotation: periodic saves must
+            # never rotate out the best-eval checkpoint, and a plateau
+            # preemption must not lose every epoch since the last best
+            from gdmcf_tpu.train.checkpoint import Checkpointer
+            periodic = Checkpointer(
+                os.path.join(checkpointer.directory, "periodic"),
+                max_to_keep=2)
         start_epoch = 1
         best_metric, best_epoch = -100.0, 0
         if checkpointer is not None and cfg.resume:
-            latest = checkpointer.latest_step()
+            # resume from whichever stream holds the NEWEST step
+            src, latest = checkpointer, checkpointer.latest_step()
+            if periodic is not None:
+                p_latest = periodic.latest_step()
+                if p_latest is not None and (latest is None
+                                             or p_latest > latest):
+                    src, latest = periodic, p_latest
             if latest is not None:
-                state = checkpointer.restore(state)
+                state = src.restore(state)
                 # ceil when partial batches train (drop_last=False); multi
                 # -host always drops (train_epoch forces it)
                 drop = cfg.drop_last or jax.process_count() > 1
@@ -798,7 +814,7 @@ class Trainer:
                 start_epoch = int(state.step) // steps_per_epoch + 1
                 log(f"resumed from checkpoint at step {int(state.step)} "
                     f"(epoch {start_epoch})")
-                meta = checkpointer.load_extra()
+                meta = src.load_extra()
                 if meta is not None:
                     # restore model selection so the first post-resume eval
                     # does not spuriously become a "new best" (and early-stop
@@ -864,6 +880,12 @@ class Trainer:
                             "best_metric": float(best_metric),
                             "best_epoch": int(best_epoch)}, block=False)
 
+            if periodic is not None and epoch % cfg.ckpt_every == 0:
+                # carries the CURRENT selection state so a periodic resume
+                # doesn't reset best tracking either
+                periodic.save(state, extra={
+                    "best_metric": float(best_metric),
+                    "best_epoch": int(best_epoch)}, block=False)
             log("Runing Epoch {:03d} train loss {:.4f} costs {}".format(
                 epoch, total_loss,
                 time.strftime("%H: %M: %S", time.gmtime(time.time() - start_time))))
@@ -876,4 +898,6 @@ class Trainer:
             print_results(None, None, best_results)
         if checkpointer is not None:
             checkpointer.wait()  # commit any in-flight background save
+        if periodic is not None:
+            periodic.wait()
         return state, best_results

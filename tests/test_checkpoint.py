@@ -105,3 +105,37 @@ def test_fit_resume_from_checkpoint(tmp_path):
     # the resumed run keeps the restored step counter and adds exactly the
     # remaining 2 epochs (a from-scratch retrain would end at 2 epochs' steps)
     assert int(state2.step) == 4 * (n_user // 8)
+
+
+def test_periodic_checkpoint_resume_without_best(tmp_path):
+    """ckpt_every saves into a separate periodic stream: a preemption on an
+    eval plateau (no best checkpoint yet) must resume from it, with the
+    step counter continued exactly."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(0)
+    n_user, n_item = 32, 24
+    mats = [sp.csr_matrix((rng.random((n_user, n_item)) < p
+                           ).astype(np.float32)) for p in (0.3, 0.1, 0.1)]
+
+    def cfg(epochs):
+        return Config(backbone="DNN", dims=[8], emb_size=10, steps=3,
+                      batch_size=8, topN=[5], sampling_steps=0,
+                      epochs=epochs, eval_every=100,  # never evals
+                      ckpt_dir=str(tmp_path / "ckpt"), resume=True,
+                      ckpt_every=1, lr=1e-3, random_seed=3)
+
+    t1 = Trainer(cfg(2), n_user, n_item)
+    s1, _ = t1.fit(*mats, log=lambda *a: None)
+    assert int(s1.step) == 2 * (n_user // 8)
+    from gdmcf_tpu.train.checkpoint import Checkpointer
+    # no best-eval checkpoint was ever written — only the periodic stream
+    assert Checkpointer(str(tmp_path / "ckpt")).latest_step() is None
+    per = Checkpointer(str(tmp_path / "ckpt" / "periodic"))
+    assert per.latest_step() == 2 * (n_user // 8)
+
+    logs = []
+    t2 = Trainer(cfg(4), n_user, n_item)
+    s2, _ = t2.fit(*mats, log=logs.append)
+    assert any("resumed from checkpoint" in l for l in logs)
+    assert int(s2.step) == 4 * (n_user // 8)
