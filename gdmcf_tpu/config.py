@@ -169,6 +169,14 @@ class Config:
     # the users, metric sums psum-reduced bit-exactly across hosts); set
     # True to force the replicated fallback (every host evaluates all rows)
     eval_replicated: bool = False
+    # learning-rate schedule (beyond the reference, which is constant-lr):
+    # "constant" | "cosine" | "linear", with optional linear warmup over
+    # lr_warmup_steps. Decay spans lr_total_steps optimizer steps
+    # (0 = auto: epochs x steps-per-epoch, filled in by fit()). Computed
+    # from the traced step count inside the compiled update — zero overhead.
+    lr_schedule: str = "constant"
+    lr_warmup_steps: int = 0
+    lr_total_steps: int = 0
     # checkpointing
     ckpt_dir: Optional[str] = None
     resume: bool = False
@@ -197,6 +205,14 @@ class Config:
             raise ValueError("compute_dtype must be bfloat16 or float32")
         if self.wire_format not in ("packed", "f32"):
             raise ValueError("wire_format must be packed or f32")
+        if self.lr_schedule not in ("constant", "cosine", "linear"):
+            raise ValueError("lr_schedule must be constant, cosine or linear")
+        if ((self.lr_schedule != "constant" or self.lr_warmup_steps > 0)
+                and self.resolved_opt_impl == "kernel"):
+            raise ValueError(
+                "lr schedules need a traced learning rate; the Pallas "
+                "optimizer kernel (opt_impl=fused) bakes it as a compile "
+                "-time constant — use opt_impl=inline (default) or optax")
         if self.OneHotMatrix == 1 and not self.drop_last:
             raise ValueError(
                 "OneHotMatrix=1 sizes the model input as n_item + batch_size"

@@ -147,7 +147,12 @@ def make_optimizer(lr: float, weight_decay: float,
     return tx
 
 
-def create_train_state(cfg, model_init, seed: int = None) -> TrainState:
+def create_train_state(cfg, model_init, seed: int = None,
+                       tx=None) -> TrainState:
+    """``tx``: the caller's optax transformation, when it has one — the
+    opt_state STRUCTURE depends on it (e.g. an lr schedule carries a
+    ScaleByScheduleState count that a locally-built constant-lr chain
+    would lack, silently misaligning the state tree)."""
     seed = cfg.random_seed if seed is None else seed
     key = jax.random.PRNGKey(seed)
     k_init, k_run = jax.random.split(key)
@@ -161,8 +166,9 @@ def create_train_state(cfg, model_init, seed: int = None) -> TrainState:
             params, _trainable_mask(params),
             moment_dtype=jnp.dtype(cfg.opt_moment_dtype))
     else:
-        tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.param_dtype,
-                            getattr(cfg, "opt_moment_dtype", "float32"))
+        if tx is None:
+            tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.param_dtype,
+                                getattr(cfg, "opt_moment_dtype", "float32"))
         opt_state = tx.init(params)
     return TrainState(
         step=jnp.zeros((), dtype=jnp.int32),

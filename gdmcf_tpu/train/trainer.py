@@ -71,6 +71,11 @@ class Trainer:
         self.diffusion = Diffusion.create(cfg, index_in=self.model.needs_index,
                                           variant=cfg.diffusion_variant)
         self._opt_impl = cfg.resolved_opt_impl
+        # decay horizon for lr schedules; fit() fills 0 in from
+        # epochs x steps-per-epoch BEFORE the first (traced) step
+        self._lr_total_steps = int(cfg.lr_total_steps)
+        self._lr_scheduled = (cfg.lr_schedule != "constant"
+                              or cfg.lr_warmup_steps > 0)
         if self._opt_impl != "optax":
             # single-pass AdamW (ops/fused_adamw.py): 'inline' (default —
             # one jnp expression per leaf, measured faster than the optax
@@ -80,7 +85,10 @@ class Trainer:
             self._fused_interpret = (self._opt_impl == "kernel"
                                      and jax.default_backend() != "tpu")
         else:
-            self.tx = make_optimizer(cfg.lr, cfg.weight_decay,
+            # optax accepts a schedule callable; _lr_at reads the traced
+            # update count (same math as the inline path)
+            lr_arg = self._lr_at if self._lr_scheduled else cfg.lr
+            self.tx = make_optimizer(lr_arg, cfg.weight_decay,
                                      cfg.param_dtype, cfg.opt_moment_dtype)
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
@@ -103,7 +111,7 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def init_state(self) -> TrainState:
-        state = create_train_state(self.cfg, self.model.init)
+        state = create_train_state(self.cfg, self.model.init, tx=self.tx)
         if self.mesh is not None:
             from gdmcf_tpu.parallel.sharding import shard_params
             params = shard_params(state.params, self.mesh)
@@ -246,6 +254,26 @@ class Trainer:
     def num_params(self, state: TrainState) -> int:
         return param_count(state.params)
 
+    def _lr_at(self, step):
+        """Learning rate at a (traced) optimizer-step count: linear warmup
+        over ``lr_warmup_steps``, then cosine/linear decay spanning
+        ``lr_total_steps``. Pure scalar jnp math — XLA fuses it into the
+        update, so schedules cost nothing on-chip."""
+        cfg = self.cfg
+        if not self._lr_scheduled:
+            return cfg.lr
+        s = jnp.asarray(step, jnp.float32)
+        lr = jnp.float32(cfg.lr)
+        if cfg.lr_warmup_steps > 0:
+            lr = lr * jnp.minimum((s + 1.0) / cfg.lr_warmup_steps, 1.0)
+        if cfg.lr_schedule != "constant" and self._lr_total_steps > 0:
+            frac = jnp.clip(s / self._lr_total_steps, 0.0, 1.0)
+            if cfg.lr_schedule == "cosine":
+                lr = lr * 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+            else:  # linear
+                lr = lr * (1.0 - frac)
+        return lr
+
     def _matmul_precision(self):
         """compute_dtype='bfloat16' -> fast single-pass MXU (DEFAULT);
         'float32' -> 3-pass f32-equivalent precision ('float32')."""
@@ -285,7 +313,8 @@ class Trainer:
             from gdmcf_tpu.train.state import _trainable_mask
             new_params, new_opt = fused_adamw_apply(
                 state.params, grads, state.opt_state,
-                _trainable_mask(state.params), lr=self.cfg.lr,
+                _trainable_mask(state.params),
+                lr=self._lr_at(state.step),
                 weight_decay=self.cfg.weight_decay,
                 impl=self._opt_impl, interpret=self._fused_interpret)
         else:
@@ -776,6 +805,14 @@ class Trainer:
             valid_n = NativeCSR.from_scipy(valid_csr[:n_rows])
             test_n = NativeCSR.from_scipy(test_csr[:n_rows])
             dataset = train_n
+
+        if self._lr_scheduled and self._lr_total_steps == 0:
+            # decay horizon = this run's total optimizer steps; must be set
+            # before the first step traces (the schedule closes over it)
+            dl = cfg.drop_last or jax.process_count() > 1
+            spe = max(len(dataset) // cfg.batch_size if dl
+                      else -(-len(dataset) // cfg.batch_size), 1)
+            self._lr_total_steps = cfg.epochs * spe
 
         state = self.init_state()
         log(f"Number of all parameters: {self.num_params(state)}")

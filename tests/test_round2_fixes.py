@@ -502,3 +502,57 @@ def test_steptimer_warmup_zero():
     for _ in range(3):
         t.tick()
     assert t.steps_per_s() > 0.0
+
+
+# ---------------------------------------------------------------------------
+# learning-rate schedules
+# ---------------------------------------------------------------------------
+
+def test_lr_schedule_math():
+    t = _trainer(lr=1e-2, lr_schedule="cosine", lr_warmup_steps=4,
+                 lr_total_steps=100)
+    lr0 = float(t._lr_at(jnp.asarray(0)))
+    lr3 = float(t._lr_at(jnp.asarray(3)))
+    lr100 = float(t._lr_at(jnp.asarray(100)))
+    assert lr0 == pytest.approx(1e-2 / 4 * np.cos(0), rel=1e-4)
+    assert lr3 == pytest.approx(1e-2 * np.cos(np.pi * 3 / 100 / 2) ** 2,
+                                rel=1e-3)
+    assert lr100 == pytest.approx(0.0, abs=1e-9)
+    t_lin = _trainer(lr=1e-2, lr_schedule="linear", lr_total_steps=10)
+    assert float(t_lin._lr_at(jnp.asarray(5))) == pytest.approx(5e-3)
+    # constant stays a python float (no trace cost at all)
+    assert _trainer()._lr_at(jnp.asarray(7)) == _trainer().cfg.lr
+
+
+@pytest.mark.parametrize("opt_impl", ["inline", "optax"])
+def test_lr_decay_shrinks_updates(opt_impl):
+    """With a linear decay to zero, late steps must change params less than
+    early steps — on BOTH optimizer implementations."""
+    t = _trainer(lr=1e-2, lr_schedule="linear", lr_total_steps=8,
+                 opt_impl=opt_impl, batch_size=8)
+    t._lr_total_steps = 8
+    state = t.init_state()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((rng.random((8, 20)) < 0.3).astype(np.float32))
+    idx = jnp.arange(8, dtype=jnp.int32)
+
+    s_prev, deltas = state, []
+    for _ in range(9):  # step 9 sees step-count 8 == lr_total_steps -> lr 0
+        # snapshot BEFORE stepping: _train_step donates the state buffers
+        before = [np.asarray(p) for p in
+                  jax.tree_util.tree_leaves(s_prev.params)]
+        s_prev, _ = t._train_step(s_prev, x, idx)
+        after = jax.tree_util.tree_leaves(s_prev.params)
+        deltas.append(float(sum(np.abs(np.asarray(a) - b).sum()
+                                for a, b in zip(after, before))))
+    # monotone decay from the Adam-warmed peak, and the final step at lr=0
+    # must not move the params at all
+    peak = int(np.argmax(deltas))
+    assert all(a >= b for a, b in zip(deltas[peak:-1], deltas[peak + 1:])), \
+        deltas
+    assert deltas[-1] == 0.0, deltas
+
+
+def test_lr_schedule_rejects_pallas_kernel():
+    with pytest.raises(ValueError, match="traced learning rate"):
+        Config(lr_schedule="cosine", opt_impl="fused")
