@@ -177,6 +177,9 @@ class Config:
     lr_schedule: str = "constant"
     lr_warmup_steps: int = 0
     lr_total_steps: int = 0
+    # global-norm gradient clipping before the update (0 = off). Applied to
+    # the gradient tree in-program on every optimizer path.
+    grad_clip_norm: float = 0.0
     # checkpointing
     ckpt_dir: Optional[str] = None
     resume: bool = False

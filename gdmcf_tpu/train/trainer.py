@@ -308,6 +308,16 @@ class Trainer:
         with jax.default_matmul_precision(self._matmul_precision()):
             (loss, (new_lt, aux)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
+        if self.cfg.grad_clip_norm > 0.0:
+            # global-norm clip, uniform across optimizer paths (scalar math
+            # fused into the update by XLA)
+            gn = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                              for g in jax.tree_util.tree_leaves(grads)))
+            scale = jnp.minimum(1.0, self.cfg.grad_clip_norm
+                                / jnp.maximum(gn, 1e-12))
+            grads = jax.tree_util.tree_map(
+                lambda g: (g.astype(jnp.float32) * scale).astype(g.dtype),
+                grads)
         if self.tx is None:
             from gdmcf_tpu.ops.fused_adamw import fused_adamw_apply
             from gdmcf_tpu.train.state import _trainable_mask

@@ -556,3 +556,29 @@ def test_lr_decay_shrinks_updates(opt_impl):
 def test_lr_schedule_rejects_pallas_kernel():
     with pytest.raises(ValueError, match="traced learning rate"):
         Config(lr_schedule="cosine", opt_impl="fused")
+
+
+def test_grad_clip_norm():
+    """A huge clip threshold is a bitwise no-op; a tiny one shrinks the
+    first update by exactly the norm ratio (Adam's normalization then
+    reshapes later steps, so only step 1 is directly comparable)."""
+    def one_step(clip):
+        t = _trainer(lr=1e-2, grad_clip_norm=clip, batch_size=8)
+        state = t.init_state()
+        rng = np.random.default_rng(0)
+        x = jnp.asarray((rng.random((8, 20)) < 0.3).astype(np.float32))
+        before = [np.asarray(p) for p in
+                  jax.tree_util.tree_leaves(state.params)]
+        state, _ = t._train_step(state, x, jnp.arange(8, dtype=jnp.int32))
+        return before, [np.asarray(p) for p in
+                        jax.tree_util.tree_leaves(state.params)]
+
+    b0, a0 = one_step(0.0)
+    b1, a1 = one_step(1e9)   # threshold never binds
+    for x0, y0, x1, y1 in zip(b0, a0, b1, a1):
+        np.testing.assert_array_equal(y0 - x0, y1 - x1)
+    b2, a2 = one_step(1e-3)  # threshold binds hard
+    d_unclipped = sum(np.abs(y - x).sum() for x, y in zip(b0, a0))
+    d_clipped = sum(np.abs(y - x).sum() for x, y in zip(b2, a2))
+    assert d_clipped < d_unclipped  # smaller effective step
+    assert d_clipped > 0.0          # but still training
