@@ -154,6 +154,41 @@ def _load_state_dict(path: str) -> Mapping[str, np.ndarray]:
     return {k: v.detach().cpu().numpy() for k, v in obj.items()}
 
 
+def import_reference_embeddings(src_dir: str, out_dir: "str | None" = None):
+    """Import the reference LightGCN pretrainer's four ``*_Embed.pt``
+    artifacts (saved by ref lightGCN.py:320-323) into a
+    :class:`gdmcf_tpu.models.lightgcn.LightGCNResult`, optionally persisting
+    them in this repo's npz format (``save_embeddings``).
+
+    The reference ships exactly these files next to its entry point
+    (final/initial x user/item); a user migrating a finished pretrain run
+    points this at that directory instead of re-running the pretrainer.
+    """
+    import os
+
+    import torch
+
+    from gdmcf_tpu.models.lightgcn import LightGCNResult, save_embeddings
+
+    def load(name):
+        p = os.path.join(src_dir, f"{name}_Embed.pt")
+        t = torch.load(p, map_location="cpu", weights_only=True)
+        return np.asarray(t.detach().numpy(), dtype=np.float32)
+
+    fu, fi = load("final_user"), load("final_item")
+    iu, ii = load("initial_user"), load("initial_item")
+    if fu.shape != iu.shape or fi.shape != ii.shape or \
+            fu.shape[1] != fi.shape[1]:
+        raise ValueError(
+            f"inconsistent embedding shapes: final {fu.shape}/{fi.shape}, "
+            f"initial {iu.shape}/{ii.shape}")
+    result = LightGCNResult(final_user=fu, final_item=fi,
+                            initial_user=iu, initial_item=ii)
+    if out_dir is not None:
+        save_embeddings(result, out_dir)
+    return result
+
+
 def import_reference_checkpoint(path: str, cfg, n_user: int, n_item: int):
     """Load a reference checkpoint file into a params pytree for ``cfg``."""
     import jax

@@ -151,3 +151,47 @@ def test_import_npz_roundtrip(tmp_path):
     params = import_reference_checkpoint(str(npz), cfg, N_USER, N_ITEM)
     np.testing.assert_allclose(np.asarray(params["emb_layer"]["b"]),
                                sd["emb_layer.bias"])
+
+
+def test_import_reference_embedding_artifacts(tmp_path):
+    """The reference ships its LightGCN pretrainer outputs as four
+    ``*_Embed.pt`` files (saved at ref lightGCN.py:320-323); the importer
+    must read the REAL shipped artifacts and round-trip into this repo's
+    npz format."""
+    torch = pytest.importorskip("torch")
+    import os
+
+    from gdmcf_tpu.compat import import_reference_embeddings
+
+    src = "/root/reference"
+    if not os.path.exists(os.path.join(src, "final_user_Embed.pt")):
+        pytest.skip("reference embedding artifacts not present")
+
+    result = import_reference_embeddings(src, out_dir=str(tmp_path))
+    # same latent dim everywhere, user/item row counts consistent
+    assert result.final_user.shape == result.initial_user.shape
+    assert result.final_item.shape == result.initial_item.shape
+    assert result.final_user.shape[1] == result.final_item.shape[1]
+    assert result.final_user.dtype == np.float32
+    assert np.isfinite(result.final_user).all()
+    assert np.isfinite(result.final_item).all()
+
+    # npz round-trip matches the torch source bit-for-bit
+    z = np.load(tmp_path / "lightgcn_embeddings.npz")
+    ref = torch.load(os.path.join(src, "final_item_Embed.pt"),
+                     map_location="cpu", weights_only=True)
+    np.testing.assert_array_equal(z["final_item_Embed"],
+                                  ref.detach().numpy().astype(np.float32))
+
+
+def test_import_reference_embeddings_rejects_inconsistent(tmp_path):
+    torch = pytest.importorskip("torch")
+
+    from gdmcf_tpu.compat import import_reference_embeddings
+
+    torch.save(torch.zeros(4, 8), tmp_path / "final_user_Embed.pt")
+    torch.save(torch.zeros(3, 8), tmp_path / "final_item_Embed.pt")
+    torch.save(torch.zeros(4, 8), tmp_path / "initial_user_Embed.pt")
+    torch.save(torch.zeros(3, 6), tmp_path / "initial_item_Embed.pt")
+    with pytest.raises(ValueError, match="inconsistent"):
+        import_reference_embeddings(str(tmp_path))
