@@ -35,6 +35,51 @@ import numpy as np
 REFERENCE = "/root/reference"
 
 
+def _make_gcnconv():
+    """A faithful pure-torch GCNConv (torch_geometric 2.5.3 default args:
+    normalize=True, add_self_loops=True, improved=False, bias=True,
+    flow=source_to_target).
+
+    Semantics: out = D̂^{-1/2} (A+I) D̂^{-1/2} X W + b with degrees counted
+    over INCOMING (col/dst) edges and norm = deg^{-1/2}[src]*deg^{-1/2}[dst]
+    — the same spec as the repo's numpy oracle (tests/test_gcn.py:17-27).
+    Init matches PyG: glorot(=xavier_uniform) weight, zero bias. This lets
+    the reference's own DNNOneHotEmbeddingGCN (models/DNN.py:1105-1327) run
+    end-to-end on CPU for golden parity. No PyG code is copied — this is a
+    ~30-line reimplementation of the published GCN propagation rule.
+    """
+    import torch
+
+    class GCNConv(torch.nn.Module):
+        def __init__(self, in_channels, out_channels):
+            super().__init__()
+            self.lin = torch.nn.Linear(in_channels, out_channels, bias=False)
+            self.bias = torch.nn.Parameter(torch.empty(out_channels))
+            self.reset_parameters()
+
+        def reset_parameters(self):
+            torch.nn.init.xavier_uniform_(self.lin.weight)
+            torch.nn.init.zeros_(self.bias)
+
+        def forward(self, x, edge_index):
+            n = x.size(0)
+            loop = torch.arange(n, device=x.device)
+            row = torch.cat([edge_index[0], loop])
+            col = torch.cat([edge_index[1], loop])
+            deg = torch.zeros(n, dtype=x.dtype, device=x.device).index_add_(
+                0, col, torch.ones(col.numel(), dtype=x.dtype,
+                                   device=x.device))
+            dinv = deg.pow(-0.5)
+            dinv = dinv.masked_fill(torch.isinf(dinv), 0.0)
+            norm = dinv[row] * dinv[col]
+            xw = self.lin(x)
+            out = torch.zeros_like(xw).index_add_(
+                0, col, xw[row] * norm.unsqueeze(1))
+            return out + self.bias
+
+    return GCNConv
+
+
 def _install_stubs():
     """Satisfy the reference's module-level imports that cannot resolve here."""
     if "torch_geometric" not in sys.modules:
@@ -56,7 +101,7 @@ def _install_stubs():
                 raise RuntimeError("torch_geometric MessagePassing stub")
 
         tg_nn.LightGCN = _Unavailable
-        tg_nn.GCNConv = _Unavailable
+        tg_nn.GCNConv = _make_gcnconv()
         tg_nn.MessagePassing = MessagePassing
         tg.nn = tg_nn
         sys.modules["torch_geometric"] = tg
@@ -108,6 +153,14 @@ def build(args_ns, n_user, n_item):
         model = rdnn.DNNOneHotEmbedding(
             in_dims, out_dims, args_ns.emb_size, time_type="cat",
             norm=args_ns.norm, item_num=n_item, user_num=n_user)
+    elif b == "DNNOneHotEmbeddingGCN":
+        # The flagship (ref main.py:243-246). Runs on the pure-torch GCNConv
+        # shim installed by _install_stubs (same spec as the repo's oracle).
+        diffusion.indexIn = True
+        model = rdnn.DNNOneHotEmbeddingGCN(
+            in_dims, out_dims, args_ns.emb_size, time_type="cat",
+            norm=args_ns.norm, item_num=n_item, user_num=n_user,
+            args=args_ns)
     else:
         raise ValueError(f"backbone {b} needs torch_geometric/CUDA; only the "
                          "plain-torch backbones run here")
@@ -170,7 +223,8 @@ def run(opts) -> dict:
         noise_scale=opts.noise_scale, noise_min=0.001, noise_max=0.01,
         sampling_noise=False, sampling_steps=opts.sampling_steps,
         reweight=True, discrete=0.9995, OneHotMatrix=opts.OneHotMatrix,
-        batch_size=opts.batch, user_guided=1, epps0=epps0)
+        batch_size=opts.batch, user_guided=1, epps0=epps0,
+        gcnLayerNum=opts.gcnLayerNum, noise_type=0)
 
     torch.manual_seed(opts.seed)
     np.random.seed(opts.seed)
@@ -246,6 +300,7 @@ def main():
     # 2 = CatOneHot (two-arg backbones); 0 = plain model(x_t, ts) backbones
     # like DNN (ref gaussian_diffusion.py:885-894 branches on CatOneHot)
     ap.add_argument("--OneHotMatrix", type=int, default=2)
+    ap.add_argument("--gcnLayerNum", type=int, default=2)
     ap.add_argument("--out", default=None)
     opts = ap.parse_args()
     result = run(opts)

@@ -177,6 +177,10 @@ def import_reference_embeddings(src_dir: str, out_dir: "str | None" = None):
 
     fu, fi = load("final_user"), load("final_item")
     iu, ii = load("initial_user"), load("initial_item")
+    if fu.ndim != 2 or fi.ndim != 2:
+        raise ValueError(
+            f"embedding artifacts must be 2-D [rows, dim]; got final_user "
+            f"{fu.shape}, final_item {fi.shape}")
     if fu.shape != iu.shape or fi.shape != ii.shape or \
             fu.shape[1] != fi.shape[1]:
         raise ValueError(

@@ -233,3 +233,89 @@ def generate_synthetic_dataset(
         np.save(path, np.array(lst, dtype=np.int64))
         paths.append(path)
     return tuple(paths)
+
+def generate_ml100k_csv(path: str, n_user: int = 400, n_item: int = 600,
+                        avg_degree: int = 40, seed: int = 0,
+                        alpha: float = 1.1) -> str:
+    """Write a synthetic ml-100k-shaped ``u.data`` TSV (user_id, item_id,
+    rating 1-5, timestamp) — the input shape of the reference LightGCN
+    pretrainer's ingest (ref lightGCN.py:13-14). Raw ids start at 1 and are
+    sparse (not contiguous) so the LabelEncoder step is actually exercised.
+    """
+    rng = np.random.default_rng(seed)
+    pop = 1.0 / np.arange(1, n_item + 1) ** alpha
+    pop /= pop.sum()
+    # sparse raw id spaces: skip ~20% of ids
+    user_ids = np.sort(rng.choice(n_user * 5, n_user, replace=False)) + 1
+    item_ids = np.sort(rng.choice(n_item * 5, n_item, replace=False)) + 1
+    rows = []
+    for u in user_ids:
+        deg = max(5, rng.poisson(avg_degree))
+        items = rng.choice(n_item, size=min(deg, n_item), replace=False,
+                           p=pop)
+        for i in items:
+            rating = int(rng.integers(1, 6))
+            ts = int(rng.integers(874_000_000, 893_000_000))
+            rows.append((int(u), int(item_ids[i]), rating, ts))
+    rng.shuffle(rows)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write("\t".join(str(v) for v in r) + "\n")
+    return path
+
+
+def load_ml100k(path: str, min_rating: int = 3, test_size: float = 0.2,
+                random_state: int = 16):
+    """ml-100k ``u.data`` ingest with the reference LightGCN pretrainer's
+    exact semantics (ref lightGCN.py:13-49):
+
+      * keep ratings >= 3 (ref :18);
+      * sklearn ``train_test_split(test_size=0.2, random_state=16)`` on the
+        raw rows (ref :22) — the same library call so the split is
+        bit-identical;
+      * LabelEncoder fit on TRAIN user/item ids (ref :29-32);
+      * test filtered to users AND items seen in train (ref :38);
+      * n_users/n_items = train nunique (ref :44-45).
+
+    Returns (train_csr [n_users, n_items], test_csr, n_users, n_items);
+    interactions are binary (rating value discarded after the filter, as in
+    the reference's dok assembly, ref :74-76 / :146-148).
+    """
+    import pandas as pd
+    from sklearn import preprocessing as pp
+    from sklearn.model_selection import train_test_split
+
+    columns = ["user_id", "item_id", "rating", "timestamp"]
+    df = pd.read_csv(path, sep="\t", names=columns)
+    df = df[df["rating"] >= min_rating]
+    train, test = train_test_split(df.values, test_size=test_size,
+                                   random_state=random_state)
+    train = pd.DataFrame(train, columns=df.columns)
+    test = pd.DataFrame(test, columns=df.columns)
+
+    le_user = pp.LabelEncoder()
+    le_item = pp.LabelEncoder()
+    train["user_id_idx"] = le_user.fit_transform(train["user_id"].values)
+    train["item_id_idx"] = le_item.fit_transform(train["item_id"].values)
+    train_user_ids = train["user_id"].unique()
+    train_item_ids = train["item_id"].unique()
+    test = test[(test["user_id"].isin(train_user_ids))
+                & (test["item_id"].isin(train_item_ids))]
+    test = test.copy()
+    test["user_id_idx"] = le_user.transform(test["user_id"].values)
+    test["item_id_idx"] = le_item.transform(test["item_id"].values)
+
+    n_users = train["user_id_idx"].nunique()
+    n_items = train["item_id_idx"].nunique()
+
+    def to_csr(frame):
+        data = np.ones(len(frame), dtype=np.float32)
+        m = sp.coo_matrix(
+            (data, (frame["user_id_idx"].values.astype(np.int64),
+                    frame["item_id_idx"].values.astype(np.int64))),
+            shape=(n_users, n_items)).tocsr()
+        m.data[:] = 1.0  # collapse duplicate pairs to binary
+        return m
+
+    return to_csr(train), to_csr(test), n_users, n_items

@@ -250,7 +250,7 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
     the [n_user, n_item] score matrix cannot materialize; returns the final,
     not best-NDCG, embeddings).
     """
-    from gdmcf_tpu.ops.metrics import compute_topn_accuracy
+    from gdmcf_tpu.ops.metrics import lightgcn_topn_metrics
 
     n_user, n_item = train_csr.shape
     key = jax.random.PRNGKey(seed)
@@ -353,11 +353,15 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
         scores = np.array(fu @ fi.T)  # writable host copy
         scores[train_mask > 0] = -np.inf
         pred = np.argsort(-scores, axis=1)[:, :k]
-        _, recall, ndcg, _ = compute_topn_accuracy(test_gt, pred, [k])
+        # the reference pretrainer's eval protocol (ref lightGCN.py:67-127):
+        # natural-log NDCG, MAP@K, means over test users only
+        recall, precision, ndcg, map_k = lightgcn_topn_metrics(
+            test_gt, pred, k)
         log(f"epoch {epoch}: loss {total / steps_per_epoch:.4f} "
-            f"recall@{k} {recall[0]:.4f} ndcg@{k} {ndcg[0]:.4f}")
-        if ndcg[0] > best_ndcg:
-            best_ndcg = ndcg[0]
+            f"recall@{k} {recall:.4f} precision@{k} {precision:.4f} "
+            f"ndcg@{k} {ndcg:.4f} map@{k} {map_k:.4f}")
+        if ndcg > best_ndcg:
+            best_ndcg = ndcg
             best = LightGCNResult(
                 final_user=np.asarray(fu), final_item=np.asarray(fi),
                 initial_user=np.asarray(e0[:n_user]),

@@ -105,6 +105,58 @@ class MetricAccumulator:
         return rnd(out[0]), rnd(out[1]), rnd(out[2]), rnd(out[3])
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _lightgcn_sums(hits: jnp.ndarray, gt_count: jnp.ndarray,
+                   k: int) -> jnp.ndarray:
+    """Per-user metric SUMS for the LightGCN-pretrainer eval protocol
+    (ref lightGCN.py:97-127) — deliberately different from the main
+    ``computeTopNAccuracy``:
+
+      * NDCG discounts with the NATURAL log (``np.log1p(idx+1)``, ref :113)
+        instead of log2;
+      * MAP@K = sum(cumhits[i] * hit[i] / (i+1)) / |GT| (ref :119-121);
+      * means run over TEST users only (the groupby/merge at ref :102-106
+        enumerates users with >=1 test item) — users without ground truth
+        contribute to neither numerator nor denominator.
+
+    Returns [5]: sums of (recall, precision, ndcg, map) over valid users,
+    plus the valid-user count — streamable batch-by-batch.
+    """
+    hk = hits[:, :k].astype(jnp.float32)
+    disc = 1.0 / jnp.log(jnp.arange(k, dtype=jnp.float32) + 2.0)
+    cum_disc = jnp.cumsum(disc)
+    valid = (gt_count > 0).astype(jnp.float32)
+    safe_gt = jnp.maximum(gt_count, 1.0)
+
+    user_hits = hk.sum(axis=1)
+    recall = user_hits / safe_gt
+    precision = user_hits / k
+    dcg = (hk * disc).sum(axis=1)
+    idcg_len = jnp.minimum(gt_count, k).astype(jnp.int32)
+    idcg = cum_disc[jnp.maximum(idcg_len - 1, 0)]
+    ndcg = dcg / jnp.maximum(idcg, 1e-12)
+    ranks = jnp.arange(1, k + 1, dtype=jnp.float32)
+    ap = (jnp.cumsum(hk, axis=1) * hk / ranks).sum(axis=1) / safe_gt
+    sums = jnp.stack([(recall * valid).sum(), (precision * valid).sum(),
+                      (ndcg * valid).sum(), (ap * valid).sum(), valid.sum()])
+    return sums
+
+
+def lightgcn_topn_metrics(
+    gt_matrix: np.ndarray | jnp.ndarray,     # [N, n_item] binary ground truth
+    pred_indices: np.ndarray | jnp.ndarray,  # [N, >=k] ranked item ids
+    k: int,
+) -> Tuple[float, float, float, float]:
+    """(recall, precision, ndcg, map)@k means over users with ground truth —
+    the reference LightGCN pretrainer's ``get_metrics`` semantics
+    (ref lightGCN.py:67-127), vectorized."""
+    hits, gt_count = _hits_and_counts(gt_matrix, pred_indices, (k,))
+    s = np.asarray(_lightgcn_sums(hits, gt_count, k), dtype=np.float64)
+    n = max(s[4], 1.0)
+    return (float(s[0] / n), float(s[1] / n), float(s[2] / n),
+            float(s[3] / n))
+
+
 def print_results(loss, valid_result, test_result) -> None:
     """Human-readable metric printout (ref evaluate_utils.py:54-69 format)."""
     if loss is not None:

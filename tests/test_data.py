@@ -93,3 +93,41 @@ def test_topk_binarizers(rng):
     r = topk_set(x, k=3)
     assert r.sum() == 15
     np.testing.assert_array_equal(r.sum(axis=1), 3)
+
+
+def test_ml100k_ingest_matches_reference_semantics(tmp_path):
+    """load_ml100k mirrors ref lightGCN.py:13-49: rating>=3 filter, the exact
+    sklearn split (random_state=16), train-fit LabelEncoder, test filtered to
+    train-seen ids."""
+    import pandas as pd
+    from sklearn import preprocessing as pp
+    from sklearn.model_selection import train_test_split
+
+    from gdmcf_tpu.data.loader import generate_ml100k_csv, load_ml100k
+
+    path = generate_ml100k_csv(str(tmp_path / "u.data"), n_user=60,
+                               n_item=80, avg_degree=12, seed=3)
+    train_csr, test_csr, n_users, n_items = load_ml100k(path)
+
+    # independent replay of the reference's pandas pipeline
+    df = pd.read_csv(path, sep="\t",
+                     names=["user_id", "item_id", "rating", "timestamp"])
+    df = df[df["rating"] >= 3]
+    tr, te = train_test_split(df.values, test_size=0.2, random_state=16)
+    tr = pd.DataFrame(tr, columns=df.columns)
+    te = pd.DataFrame(te, columns=df.columns)
+    le_u, le_i = pp.LabelEncoder(), pp.LabelEncoder()
+    tr["u"] = le_u.fit_transform(tr["user_id"].values)
+    tr["i"] = le_i.fit_transform(tr["item_id"].values)
+    te = te[(te["user_id"].isin(tr["user_id"].unique()))
+            & (te["item_id"].isin(tr["item_id"].unique()))]
+
+    assert n_users == tr["u"].nunique()
+    assert n_items == tr["i"].nunique()
+    assert train_csr.shape == (n_users, n_items)
+    assert train_csr.nnz == len(set(zip(tr["u"], tr["i"])))
+    assert test_csr.nnz == len(
+        set(zip(le_u.transform(te["user_id"].values),
+                le_i.transform(te["item_id"].values))))
+    # binary everywhere
+    assert set(np.unique(train_csr.data)) == {1.0}

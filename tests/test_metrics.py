@@ -111,3 +111,64 @@ def test_unsorted_topn_ranks_enough(tmp_path):
     # same metrics, opposite column order
     for a, b in zip(up, down):
         assert a == b[::-1], (a, b)
+
+
+def lightgcn_metrics_oracle(gt_lists, topk_lists, k):
+    """Literal per-user reimplementation of the reference LightGCN eval
+    formulas (ref lightGCN.py:97-127): natural-log NDCG, MAP@K with a /|GT|
+    denominator, means over users that appear in the test set."""
+    import math
+
+    recalls, precisions, ndcgs, maps = [], [], [], []
+    for gt, top in zip(gt_lists, topk_lists):
+        if not gt:
+            continue  # groupby over test rows never yields empty users
+        gt_set = set(gt)
+        hit_list = [1 if x in gt_set else 0 for x in top]
+        inter = sum(hit_list)
+        recalls.append(inter / len(gt))
+        precisions.append(inter / k)
+        idcg = sum(1 / math.log1p(i + 1)
+                   for i in range(min(len(gt), len(hit_list))))
+        dcg = sum(h / math.log1p(i + 1) for i, h in enumerate(hit_list))
+        ndcgs.append(dcg / idcg)
+        cum = 0
+        ap = 0.0
+        for i, h in enumerate(hit_list):
+            cum += h
+            ap += cum * h / (i + 1)
+        maps.append(ap / len(gt))
+    n = len(recalls)
+    return (sum(recalls) / n, sum(precisions) / n, sum(ndcgs) / n,
+            sum(maps) / n)
+
+
+def test_lightgcn_metrics_match_reference_formulas(rng):
+    from gdmcf_tpu.ops.metrics import lightgcn_topn_metrics
+
+    n, n_item, k = 40, 60, 10
+    gt = (rng.random((n, n_item)) < 0.08).astype(np.float32)
+    gt[5] = 0.0  # a user with no test items: excluded from the means
+    gt[17] = 0.0
+    scores = rng.standard_normal((n, n_item))
+    pred = np.argsort(-scores, axis=1)[:, :k].astype(np.int32)
+
+    ours = lightgcn_topn_metrics(gt, pred, k)
+    gt_lists = [list(np.nonzero(gt[i])[0]) for i in range(n)]
+    top_lists = [list(pred[i]) for i in range(n)]
+    expected = lightgcn_metrics_oracle(gt_lists, top_lists, k)
+    np.testing.assert_allclose(ours, expected, rtol=1e-5, atol=1e-7)
+
+
+def test_lightgcn_metrics_perfect_ranking():
+    from gdmcf_tpu.ops.metrics import lightgcn_topn_metrics
+
+    # 3 users, each with exactly their first-k items as ground truth
+    k, n_item = 5, 20
+    gt = np.zeros((3, n_item), dtype=np.float32)
+    pred = np.tile(np.arange(k, dtype=np.int32), (3, 1))
+    for u in range(3):
+        gt[u, :k] = 1.0
+    r, p, nd, mp = lightgcn_topn_metrics(gt, pred, k)
+    assert r == p == nd == 1.0
+    np.testing.assert_allclose(mp, 1.0, rtol=1e-6)
