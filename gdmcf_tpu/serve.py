@@ -16,6 +16,7 @@ CLI demo:  python -m gdmcf_tpu.serve -c configs/yelpOneEmbGcn.yaml \
 
 from __future__ import annotations
 
+import threading
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -46,6 +47,7 @@ class Recommender:
         # slicing its (score-sorted) result — no recompiles on traffic
         self.k_max = min(k_max, history.n_item)
         self._key = jax.random.PRNGKey(trainer.cfg.random_seed + 777)
+        self._key_lock = threading.Lock()
 
     # ------------------------------------------------------------------
     @classmethod
@@ -96,23 +98,43 @@ class Recommender:
         results = []
         for start in range(0, len(user_ids), self.serve_batch):
             chunk = user_ids[start:start + self.serve_batch]
-            pad = self.serve_batch - len(chunk)
-            padded = np.concatenate([chunk, np.zeros(pad, np.int32)])
-            # NativeCSR rows are always binary: assemble + ship bits
-            # (32x less request payload; _eval_step unpacks in-program)
-            rows = (self.history.gather_packed(padded)
-                    if cfg.wire_format == "packed"
-                    else self.history.gather(padded))
-            mask = rows if exclude_history else np.zeros_like(rows)
-            self._key, sub = jax.random.split(self._key)
-            idx = self.trainer._eval_step(
-                self.params, jnp.asarray(rows), jnp.asarray(padded),
-                jnp.asarray(mask), sub,
-                sampling_steps=cfg.sampling_steps, top_k=self.k_max)
+            ranked = self.recommend_batch(
+                chunk, np.full(len(chunk), exclude_history, dtype=bool))
             # top-k indices are score-sorted: the k-prefix of the k_max
             # ranking IS the top-k result
-            results.append(np.asarray(idx)[: len(chunk), :k])
+            results.append(ranked[:, :k])
         return np.concatenate(results, axis=0), user_ids
+
+    def recommend_batch(self, user_ids: Sequence[int],
+                        exclude_rows: np.ndarray) -> np.ndarray:
+        """ONE padded fixed-shape dispatch for up to ``serve_batch`` users
+        with a PER-ROW exclude decision — the primitive request coalescing
+        builds on (requests with different ``exclude_history`` and ``k``
+        share a dispatch: the mask is per-row, the program always ranks
+        k_max). Returns [len(user_ids), k_max] score-sorted item ids."""
+        cfg = self.trainer.cfg
+        user_ids = np.asarray(user_ids, dtype=np.int32)
+        if not 0 < user_ids.size <= self.serve_batch:
+            raise ValueError(f"recommend_batch takes 1..{self.serve_batch} "
+                             f"users; got {user_ids.size}")
+        pad = self.serve_batch - user_ids.size
+        padded = np.concatenate([user_ids, np.zeros(pad, np.int32)])
+        # NativeCSR rows are always binary: assemble + ship bits
+        # (32x less request payload; _eval_step unpacks in-program)
+        rows = (self.history.gather_packed(padded)
+                if cfg.wire_format == "packed"
+                else self.history.gather(padded))
+        excl = np.concatenate([np.asarray(exclude_rows, dtype=bool),
+                               np.zeros(pad, dtype=bool)])
+        # zeroed mask rows (packed or f32 alike) exclude nothing
+        mask = np.where(excl[:, None], rows, np.zeros_like(rows))
+        with self._key_lock:
+            self._key, sub = jax.random.split(self._key)
+        idx = self.trainer._eval_step(
+            self.params, jnp.asarray(rows), jnp.asarray(padded),
+            jnp.asarray(mask), sub,
+            sampling_steps=cfg.sampling_steps, top_k=self.k_max)
+        return np.asarray(idx)[: user_ids.size]
 
 
 def build_recommender(cfg: Config, ckpt_dir, train_csr, n_user: int,

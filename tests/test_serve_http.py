@@ -103,7 +103,7 @@ def test_k_prefix_of_kmax_ranking_is_exact(server):
 
 
 def test_concurrent_requests(server):
-    """Concurrent requests serialize on the lock and all succeed."""
+    """Concurrent requests coalesce into shared dispatches and all succeed."""
     rec, base = server
     results = []
 
@@ -116,6 +116,52 @@ def test_concurrent_requests(server):
     for t in threads:
         t.join()
     assert results == [200] * 6
+
+
+def test_coalescer_mixed_k_and_exclude(server):
+    """Requests with different k and exclude_history share dispatches yet
+    each gets its own correct slice (per-row mask, per-request k cut)."""
+    rec, base = server
+    out = {}
+
+    def hit(name, qs):
+        out[name] = _get(base + "/recommend?" + qs)[1]
+
+    threads = [
+        threading.Thread(target=hit, args=("a", "users=0,1&k=3")),
+        threading.Thread(target=hit,
+                         args=("b", "users=2&k=5&exclude_history=false")),
+        threading.Thread(target=hit, args=("c", "users=3,4,5&k=2")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert [len(r) for r in out["a"]["items"]] == [3, 3]
+    assert [len(r) for r in out["b"]["items"]] == [5]
+    assert [len(r) for r in out["c"]["items"]] == [2, 2, 2]
+    assert out["a"]["users"] == [0, 1]
+    assert out["c"]["users"] == [3, 4, 5]
+    # excluded-history rows may never rank a seen item
+    seen = set(np.flatnonzero(rec.history.gather(np.array([0], np.int32))[0])
+               .tolist())
+    assert not seen.intersection(out["a"]["items"][0])
+
+
+def test_coalescer_stats_and_oversized_split(server):
+    """A request wider than serve_batch (8) splits into multiple dispatches
+    and reassembles in order; /healthz exposes the counters."""
+    rec, base = server
+    before = _get(base + "/healthz")[1]["stats"]
+    code, body = _get(base + "/recommend?users=" +
+                      ",".join(str(u % 40) for u in range(20)) + "&k=3")
+    assert code == 200
+    assert len(body["items"]) == 20 and len(body["items"][0]) == 3
+    after = _get(base + "/healthz")[1]["stats"]
+    assert after["requests"] == before["requests"] + 1
+    assert after["rows"] == before["rows"] + 20
+    # 20 rows at serve_batch=8 -> at least ceil(20/8)=3 dispatches
+    assert after["dispatches"] >= before["dispatches"] + 3
 
 
 def test_get_exclude_history_false_variants(server):
