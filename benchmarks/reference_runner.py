@@ -122,6 +122,13 @@ def load_reference():
     import models.gaussian_diffusion as gd  # noqa: E402
     import models.DNN as rdnn  # noqa: E402
     import evaluate_utils  # noqa: E402
+    # The reference only imports these at module level, so the loaded modules
+    # hold their own references now. Drop the stubs from sys.modules: a fake
+    # importable "bottleneck" makes pandas (which probes optional accelerators
+    # by version) fail unrelated code later in the same process.
+    if isinstance(sys.modules.get("bottleneck"), types.ModuleType) and \
+            not hasattr(sys.modules["bottleneck"], "__version__"):
+        del sys.modules["bottleneck"]
     return gd, rdnn, evaluate_utils
 
 
@@ -140,6 +147,9 @@ def build(args_ns, n_user, n_item):
         discrete=args_ns.discrete, CatOneHot=cat_one_hot,
         epps=1 - args_ns.epps0, args=args_ns).to(device)
     out_dims = list(args_ns.dims) + [n_item]
+    if args_ns.OneHotMatrix == 1:
+        # ref main.py:202-204: block one-hot rows have width n_item + batch
+        out_dims = list(args_ns.dims) + [n_item + args_ns.batch_size]
     in_dims = out_dims[::-1]
     b = args_ns.backbone
     if b == "DNN":
@@ -167,6 +177,19 @@ def build(args_ns, n_user, n_item):
     return diffusion, model.to(device)
 
 
+def _block_one_hot(batch):
+    """ref main.py:36-69 `adjacency_to_one_hot` semantics, vectorized:
+    [a, b] adjacency -> [a+b, a+b] block matrix with Y[i, a+j] = X[i, j]
+    (only the upper-right block is ever written; the loop's commented
+    symmetric write is dead in the reference)."""
+    import torch
+
+    a, b = batch.shape
+    y = torch.zeros((a + b, a + b), dtype=batch.dtype)
+    y[:a, a:] = batch
+    return y
+
+
 def evaluate(diffusion, model, args_ns, eval_rows, mask_rows, gt_csr, topn,
              evaluate_utils):
     """The reference evaluate closure (main.py:266-309): iterate TRAIN rows,
@@ -183,10 +206,21 @@ def evaluate(diffusion, model, args_ns, eval_rows, mask_rows, gt_csr, topn,
         for start in range(0, stop, bs):
             batch = torch.from_numpy(eval_rows[start:start + bs])
             index = torch.arange(start, start + batch.shape[0])
+            a, b = batch.shape
+            if args_ns.OneHotMatrix == 1:
+                batch = _block_one_hot(batch)  # ref main.py:283-285
             prediction = diffusion.p_sample(
                 model, batch, args_ns.sampling_steps, args_ns.sampling_noise,
                 index=index)
-            his = mask_rows[start:start + batch.shape[0]]
+            if args_ns.OneHotMatrix == 1:
+                # ref main.py:290-295: zero <=0.1, then one_hot_to_adjacency
+                # (X[i, j] = Y[i, a+j] — the vectorized loop at main.py:96-105)
+                prediction = prediction.clone()
+                prediction[prediction <= 0.1] = 0
+                prediction = prediction[:a, a:]
+            # ref main.py:296 slices by len(prediction) — the ADJACENCY row
+            # count (= original batch rows under OneHotMatrix==1)
+            his = mask_rows[start:start + prediction.shape[0]]
             prediction[torch.from_numpy(his).nonzero(as_tuple=True)] = -np.inf
             _, indices = torch.topk(prediction, topn[-1])
             predict_items.extend(indices.cpu().numpy().tolist())
@@ -255,6 +289,8 @@ def run(opts) -> dict:
             idx = order[start:start + bs]
             batch = torch.from_numpy(train_rows[idx])
             index = torch.from_numpy(idx.astype(np.int64))
+            if args_ns.OneHotMatrix == 1:
+                batch = _block_one_hot(batch)  # ref main.py:334-337
             opt.zero_grad()
             terms = diffusion.training_losses(model, batch, args_ns.reweight,
                                               index=index)
