@@ -82,7 +82,9 @@ def build_model(cfg, n_user: int, n_item: int, train_csr=None,
             # hybrid tile+COO once the dense [n_user, n_item] would be large
             # (the hybrid format degrades gracefully on unclustered graphs —
             # stragglers go to the COO remainder instead of raising)
-            if n_user * n_item * 4 > (2 << 30):
+            from gdmcf_tpu.models import lightgcn as _lg
+
+            if n_user * n_item * 4 > _lg._DENSE_LIMIT_BYTES:
                 import jax
 
                 from gdmcf_tpu.models.lightgcn import normalized_bipartite_hybrid
