@@ -28,7 +28,8 @@ def main():
     import gdmcf_tpu.models.layers as layers
     from benchmarks.profile_train2 import fused_time, make_trainer
 
-    for impl in ("softmax", "lse", "softmax", "lse"):  # ABAB for drift
+    for impl in ("softmax", "lse", "remat",
+                 "softmax", "lse", "remat"):  # ABCABC for drift
         layers._NT_XENT_IMPL = impl
         tr = make_trainer()
         ms = fused_time(tr, args.iters, args.k)

@@ -65,7 +65,7 @@ def run_seed(opts, seed: int) -> dict:
     t0 = time.time()
     _state, best = trainer.fit(train_csr, valid_csr, test_csr,
                                log=lambda *a: None, metric_logger=col)
-    return {
+    out = {
         "seed": seed,
         "losses": col.losses,
         "evals": [{"epoch": e, **{k: v for k, v in ev.items()}}
@@ -73,6 +73,34 @@ def run_seed(opts, seed: int) -> dict:
         "best_test": [[float(v) for v in g] for g in best] if best else None,
         "elapsed_s": round(time.time() - t0, 1),
     }
+    if opts.dump_scores:
+        # tie-neutral parity protocol: RAW final score matrix (no <=0.1
+        # zeroing, no masking) — see reference_runner --dump-scores
+        import jax
+        import jax.numpy as jnp
+
+        n_rows = min(n_user, opts.n_user_cap or n_user)
+        dense = np.asarray(train_csr.todense(), dtype=np.float32)[:n_rows]
+        bs = cfg.batch_size
+        key = jax.random.PRNGKey(0)
+        rows = []
+        for start in range(0, (n_rows // bs) * bs, bs):
+            x = jnp.asarray(dense[start:start + bs])
+            b = x.shape[0]
+            blk = (trainer._to_block_onehot(x)
+                   if cfg.OneHotMatrix == 1 else x)
+            s = trainer.diffusion.p_sample(
+                trainer.model.apply, _state.params, blk,
+                jnp.arange(start, start + b, dtype=jnp.int32), key,
+                sampling_steps=cfg.sampling_steps,
+                sampling_noise=cfg.sampling_noise)
+            if cfg.OneHotMatrix == 1:
+                s = s[:b, b:]
+            rows.append(np.asarray(s))
+        path = f"{opts.dump_scores}.s{seed}.npy"
+        np.save(path, np.concatenate(rows, axis=0))
+        out["scores_path"] = path
+    return out
 
 
 def main():
@@ -90,6 +118,9 @@ def main():
     ap.add_argument("--n-user-cap", type=int, default=3000)
     ap.add_argument("--fidelity", type=int, default=1)
     ap.add_argument("--OneHotMatrix", type=int, default=2)
+    ap.add_argument("--dump-scores", default=None,
+                    help="path stem for final raw score matrices "
+                         "(<stem>.s<seed>.npy; tie-neutral OH1 protocol)")
     ap.add_argument("--out", default=None)
     opts = ap.parse_args()
 

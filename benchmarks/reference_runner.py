@@ -316,6 +316,33 @@ def run(opts) -> dict:
     result["best_epoch"] = best_epoch
     result["best_test"] = best_test
     result["elapsed_s"] = round(time.time() - t0, 1)
+
+    if getattr(opts, "dump_scores", None):
+        # Tie-neutral parity protocol (OneHotMatrix==1): the reference's
+        # <=0.1 zeroing leaves only ~a dozen live scores per row, so top-k
+        # positions beyond that are zero-score TIES whose order is torch's
+        # heap-internal noise — underdetermined behavior that no
+        # reimplementation can (or should) match. Dump the RAW final score
+        # matrix instead; benchmarks/oh1_neutral_eval.py ranks both sides'
+        # scores through ONE shared deterministic pipeline.
+        model.eval()
+        rows = []
+        with torch.no_grad():
+            stop = (n_user // bs) * bs
+            for start in range(0, stop, bs):
+                batch = torch.from_numpy(train_rows[start:start + bs])
+                index = torch.arange(start, start + batch.shape[0])
+                a = batch.shape[0]
+                if args_ns.OneHotMatrix == 1:
+                    batch = _block_one_hot(batch)
+                pred = diffusion.p_sample(model, batch,
+                                          args_ns.sampling_steps,
+                                          args_ns.sampling_noise, index=index)
+                if args_ns.OneHotMatrix == 1:
+                    pred = pred[:a, a:]
+                rows.append(pred.cpu().numpy())
+        np.save(opts.dump_scores, np.concatenate(rows, axis=0))
+        result["scores_path"] = opts.dump_scores
     return result
 
 
@@ -337,6 +364,9 @@ def main():
     # like DNN (ref gaussian_diffusion.py:885-894 branches on CatOneHot)
     ap.add_argument("--OneHotMatrix", type=int, default=2)
     ap.add_argument("--gcnLayerNum", type=int, default=2)
+    ap.add_argument("--dump-scores", default=None,
+                    help="write the final raw [n_eval, n_item] score matrix "
+                         "(.npy) for the tie-neutral OH1 parity protocol")
     ap.add_argument("--out", default=None)
     opts = ap.parse_args()
     result = run(opts)

@@ -131,6 +131,17 @@ def cosine_scores(user_vecs: jnp.ndarray, item_table: jnp.ndarray,
 _NT_XENT_IMPL = "softmax"
 
 
+def nt_xent_softmax_core(z1: jnp.ndarray, z2: jnp.ndarray,
+                         temperature: float = 0.1,
+                         eps: float = 1e-5) -> jnp.ndarray:
+    """Plain softmax form, rematerializable (see nt_xent_loss 'remat')."""
+    sim = (z1 @ z2.T) / temperature
+    p = jax.nn.softmax(sim, axis=-1)
+    diag = jnp.diagonal(p)
+    neg_sum = p.sum(axis=1) - diag
+    return -jnp.log((diag + eps) / (neg_sum + eps)).mean()
+
+
 def nt_xent_loss(z1: jnp.ndarray, z2: jnp.ndarray, temperature: float = 0.1,
                  eps: float = 1e-5) -> jnp.ndarray:
     """NT-Xent contrastive loss between tower latents (ref DNN.py:479-508).
@@ -138,6 +149,15 @@ def nt_xent_loss(z1: jnp.ndarray, z2: jnp.ndarray, temperature: float = 0.1,
     The reference's diagonal masking is commented out, so the softmax runs over
     the full row including the positive; loss = -log(diag / sum(off-diag)).
     """
+    if _NT_XENT_IMPL == "remat":
+        # A/B variant (benchmarks/ab_ntxent.py): recompute the [B, B]
+        # softmax in the backward instead of storing it — trades ~8 MB of
+        # HBM residency for one extra sim matmul
+        import functools
+
+        core = jax.checkpoint(functools.partial(
+            nt_xent_softmax_core, temperature=temperature, eps=eps))
+        return core(z1, z2)
     sim = (z1 @ z2.T) / temperature
     if _NT_XENT_IMPL == "lse":
         # Algebraically identical: softmax rows sum to 1, so the off-diagonal
