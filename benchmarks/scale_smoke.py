@@ -54,6 +54,12 @@ def main():
                          "synthetic batches — no eval, no full-dataset "
                          "materialization. This is the 10M-user / 1M-item "
                          "BASELINE.md target mode.")
+    ap.add_argument("--batch-pool", type=int, default=0,
+                    help="cycle over N fixed synthetic batches instead of "
+                         "fresh ones (gives the model signal to learn)")
+    ap.add_argument("--assert-decreasing", action="store_true",
+                    help="fail unless the last-fifth loss mean is below "
+                         "the first-fifth mean")
     args = ap.parse_args()
 
     from gdmcf_tpu.config import Config
@@ -79,11 +85,23 @@ def main():
         print(f"init {time.time()-t0:.1f}s; user table {ut.shape} "
               f"sharded over {len(ut.sharding.device_set)} device(s): "
               f"{ut.sharding}")
+        pool = []
+        if args.batch_pool:
+            # fixed batch pool = a real (tiny) dataset cycled over epochs,
+            # so the sharded program has signal to LEARN, not just execute —
+            # the loss-goes-down upgrade of the round-2 "2 steps run" claim
+            pool = [((rng.random((args.batch, args.items)) < 1e-4
+                      ).astype(np.float32),
+                     rng.integers(0, args.users, args.batch).astype(np.int32))
+                    for _ in range(args.batch_pool)]
         losses = []
         for step in range(args.train_steps):
-            x = (rng.random((args.batch, args.items)) < 1e-4
-                 ).astype(np.float32)
-            idx = rng.integers(0, args.users, args.batch).astype(np.int32)
+            if pool:
+                x, idx = pool[step % len(pool)]
+            else:
+                x = (rng.random((args.batch, args.items)) < 1e-4
+                     ).astype(np.float32)
+                idx = rng.integers(0, args.users, args.batch).astype(np.int32)
             # host arrays go straight to _put_batch: an early jnp.asarray
             # commits the full dense batch to one device before resharding
             xs, idxs = trainer._put_batch(x, idx)
@@ -94,6 +112,14 @@ def main():
             print(f"step {step}: loss {loss:.4f} "
                   f"({time.time()-t1:.1f}s)", flush=True)
         assert all(np.isfinite(losses)), losses
+        if args.assert_decreasing:
+            n = max(len(losses) // 5, 1)
+            head, tail = np.mean(losses[:n]), np.mean(losses[-n:])
+            assert tail < head, (
+                f"sharded training did not learn: first-{n} mean {head:.4f} "
+                f"<= last-{n} mean {tail:.4f}")
+            print(f"loss decreased: first-{n} mean {head:.4f} -> "
+                  f"last-{n} mean {tail:.4f}")
         print(f"scale steps-only ok: {args.train_steps} steps, "
               f"total {time.time()-t0:.1f}s")
         return

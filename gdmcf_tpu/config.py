@@ -163,8 +163,10 @@ class Config:
     # back to "f32" automatically when the dataset has count cells > 1.
     wire_format: str = "packed"
     # fuse K eval batches into one compiled program (lax.scan): identical
-    # results (same per-batch key order), K-fold fewer eval dispatches
-    eval_batches_per_call: int = 1
+    # results (same per-batch key order), K-fold fewer eval dispatches.
+    # Default 8 = measured best (benchmarks/epoch_wall.py A/B 1 vs 4 vs 8:
+    # steady eval-epoch wall 1.891 / 1.850 / 1.748 s at the Yelp recipe)
+    eval_batches_per_call: int = 8
     # multi-host eval is dp-sharded by default (each host scores 1/nproc of
     # the users, metric sums psum-reduced bit-exactly across hosts); set
     # True to force the replicated fallback (every host evaluates all rows)
