@@ -171,6 +171,31 @@ def build(args_ns, n_user, n_item):
             in_dims, out_dims, args_ns.emb_size, time_type="cat",
             norm=args_ns.norm, item_num=n_item, user_num=n_user,
             args=args_ns)
+    elif b == "DNNCat":
+        # ref main.py:218-219
+        model = rdnn.DNNCat(in_dims, out_dims, args_ns.emb_size,
+                            time_type="cat", norm=args_ns.norm)
+    elif b == "DNNOneHotTransformer":
+        # ref main.py:238-239
+        model = rdnn.DNNOneHotTransformer(in_dims, out_dims, args_ns.emb_size,
+                                          time_type="cat", norm=args_ns.norm)
+    elif b == "DNNOneHotEmbedding_conti":
+        # DOUBLY unrunnable from ref main.py:248-250: main passes an args
+        # kwarg the __init__ lacks (DNN.py:687, TypeError) and leaves
+        # indexIn False while the forward unconditionally does
+        # index.to(...) (DNN.py:811, AttributeError). Documented repairs:
+        # drop the kwarg, set indexIn=True (the class's only coherent
+        # contract — identical to its non-conti sibling).
+        diffusion.indexIn = True
+        model = rdnn.DNNOneHotEmbedding_conti(
+            in_dims, out_dims, args_ns.emb_size, time_type="cat",
+            norm=args_ns.norm, item_num=n_item, user_num=n_user)
+    elif b == "DNNOneHotEmbeddingGCN_conti":
+        # ref main.py:251-254
+        diffusion.indexIn = True
+        model = rdnn.DNNOneHotEmbeddingGCN_conti(
+            in_dims, out_dims, args_ns.emb_size, time_type="cat",
+            norm=args_ns.norm, item_num=n_item, user_num=n_user, args=args_ns)
     else:
         raise ValueError(f"backbone {b} needs torch_geometric/CUDA; only the "
                          "plain-torch backbones run here")

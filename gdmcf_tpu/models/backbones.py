@@ -314,6 +314,12 @@ def dnn_one_hot_embedding(in_dims, out_dims, emb_size, item_num, user_num,
         scores = cosine_scores(hc, p["embedding_item"], eps=cosine_eps)
         return scores, closs
 
+    # needs_index=True for BOTH variants — the class contract, not main's:
+    # the reference main can't run DNNOneHotEmbedding_conti at all (it
+    # passes an args kwarg the __init__ lacks, main.py:248-250, AND leaves
+    # indexIn False while the forward unconditionally does index.to(...),
+    # DNN.py:811). The only coherent contract is the sibling classes'
+    # indexIn=True path, which is what this builder implements.
     return ModelDef(init, apply, needs_onehot=True, needs_index=True)
 
 
