@@ -177,3 +177,35 @@ def test_get_exclude_history_false_variants(server):
     masked, _ = rec.recommend([0], k=5, exclude_history=True)
     code, body = _get(base + "/recommend?users=0&k=5&exclude_history=true")
     np.testing.assert_array_equal(np.asarray(body["items"]), masked)
+
+
+def test_coalescer_error_propagates_and_recovers(server):
+    """A dispatch failure must surface to every waiter in that batch as a
+    500 (never a hang), and the dispatcher thread must survive to serve
+    subsequent traffic."""
+    rec, base = server
+    import gdmcf_tpu.serve as serve_mod
+
+    orig = rec.recommend_batch
+    calls = {"n": 0}
+
+    def boom(users, exclude_rows):
+        calls["n"] += 1
+        raise RuntimeError("injected dispatch failure")
+
+    rec.recommend_batch = boom
+    try:
+        req = urllib.request.Request(base + "/recommend?users=0,1&k=3")
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                code = r.status
+        except urllib.error.HTTPError as e:
+            code = e.code
+            body = json.loads(e.read())
+            assert "injected dispatch failure" in body["error"]
+        assert code == 500 and calls["n"] == 1
+    finally:
+        rec.recommend_batch = orig
+    # the dispatcher thread is still alive and serving
+    code, body = _get(base + "/recommend?users=2&k=3")
+    assert code == 200 and len(body["items"][0]) == 3
