@@ -80,6 +80,62 @@ def _make_gcnconv():
     return GCNConv
 
 
+def _make_lightgcn():
+    """A faithful pure-torch torch_geometric.nn.LightGCN (2.5.3 semantics)
+    for the surface DNNlightGCN touches (ref models/DNN.py:1721-1725,1784):
+    xavier-uniform node embedding; K-layer symmetric-normalized propagation
+    over the (undirected) edge graph WITHOUT self-loops; get_embedding =
+    mean of layers 0..K; predict_link = sigmoid(e_src . e_dst), ROUNDED
+    unless prob=True (tg returns hard 0/1 by default — which is why the
+    reference's `pred[k] != 1` filter keeps exactly the sigmoid>0.5 edges).
+    """
+    import torch
+
+    class LightGCN(torch.nn.Module):
+        def __init__(self, num_nodes, embedding_dim, num_layers, **kw):
+            super().__init__()
+            self.num_nodes = num_nodes
+            self.num_layers = num_layers
+            self.embedding = torch.nn.Embedding(num_nodes, embedding_dim)
+            torch.nn.init.xavier_uniform_(self.embedding.weight)
+
+        def get_embedding(self, edge_index):
+            # tg LGConv: gcn_norm(add_self_loops=False) computes the degree
+            # from TARGET nodes only (scatter by col), does NOT symmetrize,
+            # and propagates messages src -> dst. alpha = 1/(K+1) uniform.
+            # Faithful consequence for the reference's DIRECTED user->item
+            # edge list: users have in-degree 0 -> deg^-0.5 masked to 0 ->
+            # every edge weight is 0 -> propagation contributes NOTHING and
+            # get_embedding degenerates to raw_embedding * alpha0. The
+            # reference's link filter is therefore sign(e_u0 . e_i0) on the
+            # RAW xavier embeddings (the 1/(K+1)^2 scale cannot move a
+            # sigmoid across 0.5).
+            n = self.num_nodes
+            src, dst = edge_index[0], edge_index[1]
+            alpha = 1.0 / (self.num_layers + 1)
+            x = self.embedding.weight
+            out = x * alpha
+            deg = torch.zeros(n)
+            deg.scatter_add_(0, dst, torch.ones(dst.shape[0]))
+            dinv = deg.pow(-0.5)
+            dinv = dinv.masked_fill(torch.isinf(dinv), 0.0)
+            for _ in range(self.num_layers):
+                w = dinv[src] * dinv[dst]
+                nxt = torch.zeros_like(x)
+                nxt.index_add_(0, dst, x[src] * w[:, None])
+                x = nxt
+                out = out + x * alpha
+            return out
+
+        def predict_link(self, edge_index, edge_label_index, prob=False):
+            emb = self.get_embedding(edge_index)
+            pred = (emb[edge_label_index[0]] *
+                    emb[edge_label_index[1]]).sum(dim=-1).sigmoid()
+            return pred if prob else pred.round()
+
+    return LightGCN
+
+
 def _install_stubs():
     """Satisfy the reference's module-level imports that cannot resolve here."""
     if "torch_geometric" not in sys.modules:
@@ -100,7 +156,7 @@ def _install_stubs():
             def __init__(self, *a, **kw):
                 raise RuntimeError("torch_geometric MessagePassing stub")
 
-        tg_nn.LightGCN = _Unavailable
+        tg_nn.LightGCN = _make_lightgcn()
         tg_nn.GCNConv = _make_gcnconv()
         tg_nn.MessagePassing = MessagePassing
         tg.nn = tg_nn

@@ -530,6 +530,21 @@ def dnn_lightgcn(in_dims, out_dims, emb_size, n_user, n_item,
     static train graph. Densely: S = sigmoid(E_u[index] @ E_i^T);
     x' = x * (S > 0.5).
 
+    THREE upstream findings pin what "faithful" can mean here (round 3):
+    (1) the class is UNCONSTRUCTIBLE in the reference — DNN.py:1061 defines
+    a module-level ``class LightGCN`` that shadows the torch_geometric
+    import at DNN.py:7, so the constructor call at :1721 TypeErrors even
+    with torch_geometric installed; (2) with the shadowing repaired, tg
+    2.5.3's gcn_norm on the reference's DIRECTED user->item edge list gives
+    users in-degree 0, zeroing every propagation weight — the effective
+    link filter is sign(raw_u . raw_i) on the xavier-init embeddings, which
+    is exactly this builder WITHOUT ``norm_adj`` (identical-weights parity
+    vs the repaired class: tests/test_parity_reference.py); (3) the
+    training path is additionally incoherent upstream (training_losses has
+    no ``gcn`` branch; only p_mean_variance does). ``norm_adj``/
+    ``sparse_adj`` implement the evidently-INTENDED symmetric propagation
+    and are what the registry wires in.
+
     ``norm_adj``: the normalized user->item block N ([n_user, n_item]) from
     models/lightgcn.normalized_bipartite_blocks over the TRAIN matrix (the
     reference's frozen e_f edge set, main.py:221-235). The boolean threshold
