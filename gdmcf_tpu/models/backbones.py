@@ -33,6 +33,8 @@ from __future__ import annotations
 
 from typing import Callable, List, NamedTuple, Optional, Tuple
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -419,18 +421,34 @@ def dnn_one_hot_embedding_gcn(in_dims, out_dims, emb_size, item_num, user_num,
 # DNNOneHotTransformer — transformer-encoder towers
 # ---------------------------------------------------------------------------
 
+def _torch_linear_default(key, d_in, d_out):
+    """torch.nn.Linear default init: kaiming_uniform(a=sqrt(5)) == U(+-1/
+    sqrt(fan_in)) for the weight, U(+-1/sqrt(fan_in)) for the bias."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(d_in)
+    return {
+        "w": jax.random.uniform(kw, (d_in, d_out), minval=-bound,
+                                maxval=bound),
+        "b": jax.random.uniform(kb, (d_out,), minval=-bound, maxval=bound),
+    }
+
+
 def _encoder_layer_init(key, d_model, d_ff):
     ks = jax.random.split(key, 4)
-    # torch TransformerEncoderLayer: in-proj/out-proj xavier-uniform-ish;
-    # we use the reference repo's own Linear init convention for the FFN and
-    # xavier for attention projections.
+    # DISTRIBUTION-faithful to torch: the reference's init_weights() loops
+    # only over in/out/emb layers (DNN.py:1636-1663) — the encoder keeps
+    # torch's own defaults: MHA in_proj xavier-uniform + zero bias,
+    # out_proj Linear-default weight + zero bias, FFN Linear defaults
+    # (round-3 golden parity caught the earlier repo-convention inits
+    # training at a different loss scale).
+    out = _torch_linear_default(ks[1], d_model, d_model)
+    out["b"] = jnp.zeros((d_model,))
     return {
         "qkv": {"w": xavier_uniform(ks[0], (d_model, 3 * d_model)),
                 "b": jnp.zeros((3 * d_model,))},
-        "out": {"w": xavier_uniform(ks[1], (d_model, d_model)),
-                "b": jnp.zeros((d_model,))},
-        "ff1": linear_init(ks[2], d_model, d_ff),
-        "ff2": linear_init(ks[3], d_ff, d_model),
+        "out": out,
+        "ff1": _torch_linear_default(ks[2], d_model, d_ff),
+        "ff2": _torch_linear_default(ks[3], d_ff, d_model),
         "ln1": {"g": jnp.ones((d_model,)), "b": jnp.zeros((d_model,))},
         "ln2": {"g": jnp.ones((d_model,)), "b": jnp.zeros((d_model,))},
     }
@@ -459,11 +477,19 @@ def _encoder_layer_apply(p, x, nhead, train, rng, dropout_rate):
 
     q, k, v = heads(q), heads(k), heads(v)
     att = jax.nn.softmax((q @ k.transpose(0, 2, 1)) / jnp.sqrt(hd), axis=-1)
+    k1, k2, k_att, k_ff = _split(rng, 4)
+    # torch MultiheadAttention drops the ATTENTION WEIGHTS (F.dropout on the
+    # softmax output) and TransformerEncoderLayer drops the FFN inner
+    # activation — both at the layer's dropout rate (0.5 here, ref
+    # DNN.py:1622-1626). Round-3 golden parity caught their absence: our
+    # transformer trained measurably better than the reference's.
+    att = dropout(k_att, att, dropout_rate, train)
     ctx = (att @ v).transpose(1, 0, 2).reshape(B, d)
     ctx = ctx @ p["out"]["w"] + p["out"]["b"]
-    k1, k2 = _split(rng, 2)
     x = _layer_norm(p["ln1"], x + dropout(k1, ctx, dropout_rate, train))
-    ff = linear(p["ff2"], jax.nn.relu(linear(p["ff1"], x)))
+    ff = linear(p["ff2"],
+                dropout(k_ff, jax.nn.relu(linear(p["ff1"], x)),
+                        dropout_rate, train))
     x = _layer_norm(p["ln2"], x + dropout(k2, ff, dropout_rate, train))
     return x
 
