@@ -84,6 +84,33 @@ def compute_topn_accuracy(
     return rnd(precision), rnd(recall), rnd(ndcg), rnd(mrr)
 
 
+@partial(jax.jit, static_argnames=("n_item", "topn"))
+def packed_batch_metric_sums(gt_packed: jnp.ndarray, idx: jnp.ndarray,
+                             n_item: int,
+                             topn: Tuple[int, ...]) -> jnp.ndarray:
+    """Device-side metric sums from a BIT-PACKED ground-truth batch.
+
+    gt_packed [B, ceil(n_item/8)] uint8 (or [G, B, ...] for a fused group),
+    idx [B, K] (or [G, B, K]) -> [4, len(topn)] (or [G, 4, len(topn)]) sums.
+
+    This keeps the whole eval epoch on-device: the GT ships once per
+    training run (packed, 32x smaller), the [B, K] rankings never leave the
+    chip, and the only device->host transfer per eval is the final
+    [4, len(topn)] sums (trainer.evaluate). Math identical to
+    ``_metrics_sums``.
+    """
+    from gdmcf_tpu.ops.bitpack import unpack_rows
+
+    def one(gp, ix):
+        gt = unpack_rows(gp, n_item)
+        hits = jnp.take_along_axis(gt, ix, axis=1).astype(jnp.float32)
+        return _metrics_sums(hits, gt.sum(axis=1).astype(jnp.float32), topn)
+
+    if gt_packed.ndim == 3:
+        return jax.vmap(one)(gt_packed, idx)
+    return one(gt_packed, idx)
+
+
 class MetricAccumulator:
     """Streamed Precision/Recall/NDCG/MRR: feed (gt_rows, pred_idx) batches,
     read the reference-equivalent means at the end. Exact — sums are

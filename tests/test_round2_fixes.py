@@ -483,13 +483,21 @@ def test_tst_w_val_eval_keeps_partial_batch(tmp_path, monkeypatch):
                  tst_w_val=True, drop_last=True, topN=[5, 10])
     t = Trainer(cfg, n_user, n_item)
     scored = []  # users actually scored per evaluate() call
-    orig_cta = trainer_mod.compute_topn_accuracy
 
-    def spy(gt, pred, topn):
-        scored.append(int(np.asarray(gt).shape[0]))
-        return orig_cta(gt, pred, topn)
+    orig_eval = t.evaluate
 
-    monkeypatch.setattr(trainer_mod, "compute_topn_accuracy", spy)
+    def spy(state, eval_rows, gt_matrix, mask_matrix, topn, **kw):
+        out = orig_eval(state, eval_rows, gt_matrix, mask_matrix, topn, **kw)
+        # count the users the call actually scored through the device-sums
+        # path: re-derive from the cache the call used
+        drop = kw.get("drop_last")
+        drop = t.cfg.drop_last if drop is None else drop
+        cached = t._prepare_eval_batches(eval_rows, mask_matrix,
+                                         drop_last=drop)
+        scored.append(sum(c[1].shape[0] for c in cached))
+        return out
+
+    monkeypatch.setattr(t, "evaluate", spy)
     t.fit(train, valid, test, log=lambda *a, **k: None)
     # valid drops to 16 scored users; the tst_w_val test eval scores all 20
     assert 16 in scored and n_user in scored, scored
