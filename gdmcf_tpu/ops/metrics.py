@@ -126,6 +126,16 @@ class MetricAccumulator:
         self.sums += np.asarray(_metrics_sums(hits, gt_count, self.topn))
         self.n_users += hits.shape[0]
 
+    def add_packed(self, gt_packed, pred_idx, n_item: int) -> None:
+        """Device-transport-efficient add: gt ships bit-packed (32x less),
+        pred_idx stays a device array (never fetched); only the [4, n]
+        sums cross back. Same math as :meth:`add`."""
+        sums = packed_batch_metric_sums(jnp.asarray(gt_packed),
+                                        jnp.asarray(pred_idx), n_item,
+                                        self.topn)
+        self.sums += np.asarray(sums, dtype=np.float64)
+        self.n_users += int(pred_idx.shape[0])
+
     def result(self):
         out = self.sums / max(self.n_users, 1)
         rnd = lambda row: [round(float(v), 4) for v in row]

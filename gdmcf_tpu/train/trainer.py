@@ -808,7 +808,10 @@ class Trainer:
                     self._acc_local_blocks(acc, [uids], pred,
                                            lambda u: gt_csr.gather(u))
                 elif not use_reduce or is_main_process():
-                    acc.add(gt, np.asarray(pred))
+                    if hasattr(gt_csr, "gather_packed"):
+                        acc.add_packed(gt, pred, self.n_item)
+                    else:
+                        acc.add(gt, np.asarray(pred))
             else:
                 xs = jnp.stack([p[2] for p in pending])
                 us = jnp.stack([p[3] for p in pending])
@@ -823,7 +826,10 @@ class Trainer:
                 else:
                     for j, p in enumerate(pending):
                         if not use_reduce or is_main_process():
-                            acc.add(p[0], np.asarray(preds[j]))
+                            if hasattr(gt_csr, "gather_packed"):
+                                acc.add_packed(p[0], preds[j], self.n_item)
+                            else:
+                                acc.add(p[0], np.asarray(preds[j]))
             pending.clear()
 
         pack = cfg.wire_format == "packed"
@@ -839,7 +845,12 @@ class Trainer:
                 lo, lb = self._local_eval_slice(start, idx.size)
                 idx = np.arange(lo, lo + lb, dtype=np.int32)
             else:
-                gt = gt_csr.gather(idx)
+                # bit-packed GT transport + on-device sums: the dense
+                # [B, n_item] GT rows were the streaming eval's largest
+                # per-batch transfer (0.5 GB/batch at a 131k catalog)
+                gt = (gt_csr.gather_packed(idx)
+                      if hasattr(gt_csr, "gather_packed")
+                      else gt_csr.gather(idx))
             rows = union(input_csrs, idx)
             mask = union(mask_csrs, idx)
             if pack:  # union() output is binary (clipped); ship bits
