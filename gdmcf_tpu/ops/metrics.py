@@ -122,6 +122,12 @@ class MetricAccumulator:
         self.n_users = 0
 
     def add(self, gt_rows, pred_idx) -> None:
+        g = np.asarray(gt_rows)
+        if g.ndim == 2 and g.size and bool(((g == 0) | (g == 1)).all()):
+            # binary GT (the normal case): ship bits, 32x less host->device
+            from gdmcf_tpu.ops.bitpack import pack_rows
+            self.add_packed(pack_rows(g), pred_idx, g.shape[1])
+            return
         hits, gt_count = _hits_and_counts(gt_rows, pred_idx, self.topn)
         self.sums += np.asarray(_metrics_sums(hits, gt_count, self.topn))
         self.n_users += hits.shape[0]
@@ -130,6 +136,11 @@ class MetricAccumulator:
         """Device-transport-efficient add: gt ships bit-packed (32x less),
         pred_idx stays a device array (never fetched); only the [4, n]
         sums cross back. Same math as :meth:`add`."""
+        if max(self.topn) > pred_idx.shape[-1]:
+            raise ValueError(
+                f"topn cutoff {max(self.topn)} exceeds the "
+                f"{pred_idx.shape[-1]} ranked predictions — rank at least "
+                "max(topn) items per user")
         sums = packed_batch_metric_sums(jnp.asarray(gt_packed),
                                         jnp.asarray(pred_idx), n_item,
                                         self.topn)
