@@ -684,6 +684,8 @@ class Trainer:
         for start, rows, *_r in cached:
             sl = np.asarray(gt_matrix[start:start + rows.shape[0]]) > 0
             dev.append(jnp.asarray(pack_rows(sl)))
+        if len(cache) >= 4:  # bound device memory, like _prepare_eval_batches
+            cache.pop(0)
         cache.append(((gt_matrix, eval_rows, mask_matrix,
                        self.cfg.batch_size, drop), dev))
         return dev
