@@ -82,3 +82,57 @@ def test_oh1_train_step_block_conversion(rng):
     _, l_blk = trainer._train_step(trainer.init_state(), jnp.asarray(block),
                                    idx)
     np.testing.assert_allclose(float(l_raw), float(l_blk), rtol=1e-6)
+
+
+def test_gt_device_cache_keys_on_identity(rng):
+    """The device GT cache must never serve a STALE entry: a different gt
+    matrix of identical shape (same eval rows/mask) must produce different
+    metrics, and re-evaluating with the first matrix must reproduce its
+    result (cache hit correctness)."""
+    cfg = Config(backbone="DNN", dims=[16], emb_size=10, steps=5,
+                 noise_scale=0.01, batch_size=16, sampling_steps=0,
+                 debug=True)
+    trainer = Trainer(cfg, N_USER, N_ITEM)
+    state = trainer.init_state()
+    rows = (rng.random((N_USER, N_ITEM)) < 0.2).astype(np.float32)
+    mask = rows
+    gt_a = (rng.random((N_USER, N_ITEM)) < 0.1).astype(np.float32)
+    gt_b = (rng.random((N_USER, N_ITEM)) < 0.1).astype(np.float32)
+    topn = [5, 10]
+    res_a = trainer.evaluate(state, rows, gt_a, mask, topn)
+    res_b = trainer.evaluate(state, rows, gt_b, mask, topn)
+    assert res_a != res_b  # stale cache would make these equal
+    res_a2 = trainer.evaluate(state, rows, gt_a, mask, topn)
+    assert res_a == res_a2
+
+
+def test_device_metric_path_equals_host_oracle(rng):
+    """The device-sums eval result equals compute_topn_accuracy run on the
+    host over the same rankings (the pre-round-3 path)."""
+    from gdmcf_tpu.ops.metrics import compute_topn_accuracy
+
+    cfg = Config(backbone="DNN", dims=[16], emb_size=10, steps=5,
+                 noise_scale=0.01, batch_size=16, sampling_steps=0,
+                 debug=True, drop_last=False)
+    trainer = Trainer(cfg, N_USER, N_ITEM)
+    state = trainer.init_state()
+    rows = (rng.random((N_USER, N_ITEM)) < 0.2).astype(np.float32)
+    gt = (rng.random((N_USER, N_ITEM)) < 0.1).astype(np.float32)
+    topn = [5, 10]
+    res = trainer.evaluate(state, rows, gt, rows, topn)
+
+    # host oracle: same batches, same keys, same rankings
+    key = jax.random.PRNGKey(cfg.random_seed + 12345)
+    idxs = []
+    for start in range(0, N_USER, cfg.batch_size):
+        x = rows[start:start + cfg.batch_size]
+        m = x
+        key, sub = jax.random.split(key)
+        idx = trainer._eval_step(state.params, jnp.asarray(x),
+                                 jnp.arange(start, start + x.shape[0],
+                                            dtype=jnp.int32),
+                                 jnp.asarray(m), sub, sampling_steps=0,
+                                 top_k=10)
+        idxs.append(np.asarray(idx))
+    oracle = compute_topn_accuracy(gt, np.concatenate(idxs, axis=0), topn)
+    assert res == oracle
