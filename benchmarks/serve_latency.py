@@ -40,6 +40,53 @@ def _stats(base: str) -> dict:
         return json.loads(r.read())["stats"]
 
 
+def _proc_worker(base, users, k, out_q):
+    """One closed-loop client in its own PROCESS (no GIL sharing with the
+    other clients — the in-process thread harness showed a false p99 tail
+    at 64 clients; see docs/OPERATIONS.md)."""
+    lat = []
+    for u in users:
+        lat.append(_hit(base, int(u), k))
+    out_q.put(lat)
+
+
+def run_level_procs(base: str, n_user: int, concurrency: int,
+                    reqs: int) -> dict:
+    import multiprocessing as mp
+
+    rng = np.random.default_rng(7)
+    users = rng.integers(0, n_user, size=reqs)
+    shares = np.array_split(users, concurrency)
+    before = _stats(base)
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=_proc_worker, args=(base, s, 20, q))
+             for s in shares if s.size]
+    t0 = time.perf_counter()
+    for p in procs:
+        p.start()
+    lat = []
+    for _ in procs:
+        lat.extend(q.get())
+    for p in procs:
+        p.join()
+    wall = time.perf_counter() - t0
+    after = _stats(base)
+    ms = np.asarray(lat) * 1e3
+    return {
+        "clients": "processes",
+        "concurrency": concurrency,
+        "requests": reqs,
+        "p50_ms": round(float(np.percentile(ms, 50)), 2),
+        "p90_ms": round(float(np.percentile(ms, 90)), 2),
+        "p99_ms": round(float(np.percentile(ms, 99)), 2),
+        "mean_ms": round(float(ms.mean()), 2),
+        "req_per_s": round(reqs / wall, 1),
+        "dispatches": after["dispatches"] - before["dispatches"],
+        "coalesced": after["coalesced"] - before["coalesced"],
+    }
+
+
 def run_level(base: str, n_user: int, concurrency: int, reqs: int) -> dict:
     lat: list = []
     lock = threading.Lock()
@@ -89,6 +136,9 @@ def main():
     ap.add_argument("--users", type=int, default=5949)
     ap.add_argument("--items", type=int, default=2810)
     ap.add_argument("--levels", type=int, nargs="+", default=[1, 8, 64])
+    ap.add_argument("--procs", action="store_true",
+                    help="drive load from separate client PROCESSES "
+                         "(honest tail latency at high concurrency)")
     opts = ap.parse_args()
 
     import os
@@ -122,8 +172,9 @@ def main():
     for _ in range(8):
         _hit(base, 0)
 
+    level = run_level_procs if opts.procs else run_level
     for c in opts.levels:
-        print(json.dumps(run_level(base, n_user, c, opts.reqs)), flush=True)
+        print(json.dumps(level(base, n_user, c, opts.reqs)), flush=True)
     srv.shutdown()
 
 
