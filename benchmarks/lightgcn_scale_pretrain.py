@@ -65,14 +65,19 @@ def main():
         print(f"{s}  (epoch wall {epoch_done[-1]-epoch_done[-2]:.1f}s)",
               flush=True)
 
+    # explicit user-based step budget: this is a per-step TIMING benchmark,
+    # not a convergence run — the reference's interactions-based default
+    # (pretrain steps_per_epoch=None) would be ~avg_degree x longer for the
+    # same per-step numbers
+    steps_per_epoch = max(args.users // args.batch, 1)
     result = pretrain(m, m, n_layers=args.n_layers,
                       latent_dim=args.latent_dim, epochs=args.epochs,
                       batch_size=args.batch, seed=0,
                       sparse="hybrid" if args.format == "hybrid" else True,
                       block_size=args.bc, block_rows=args.br,
-                      evaluate=False, log=log)
+                      evaluate=False, log=log,
+                      steps_per_epoch=steps_per_epoch)
     dt = time.time() - t0
-    steps_per_epoch = max(args.users // args.batch, 1)
     steps = steps_per_epoch * args.epochs
     print(f"pretrain: {steps} BPR steps in {dt:.1f}s "
           f"({dt/steps:.2f}s/step incl. compile); "

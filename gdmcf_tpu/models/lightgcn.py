@@ -235,7 +235,8 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
              sparse: "bool | None" = None, block_size: int = 128,
              block_rows: "int | None" = None,
              spmm_interpret: bool = False,
-             evaluate: bool = True) -> LightGCNResult:
+             evaluate: bool = True,
+             steps_per_epoch: "int | None" = None) -> LightGCNResult:
     """Full pretraining loop (ref lightGCN.py:253-365): Adam + BPR, per-epoch
     Recall/Precision/NDCG/MAP@k eval, returns the 4 embedding matrices the
     reference saves as .pt files (ref :320-323).
@@ -249,6 +250,14 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
     ``evaluate=False`` skips the dense-scoring eval (mandatory at scales where
     the [n_user, n_item] score matrix cannot materialize; returns the final,
     not best-NDCG, embeddings).
+    ``steps_per_epoch``: optimizer steps per epoch. ``None`` (default) uses
+    the reference's interactions-based budget ``len(train) // batch_size``
+    (ref lightGCN.py:275 — ``train`` there is the interaction DataFrame, so
+    ``n_batch`` counts nnz, not users). Rounds 1-3 of this repo mistakenly
+    used ``n_user // batch_size`` — roughly ``avg_degree``x fewer Adam steps
+    per epoch, which made the lightgcn_parity tail-BPR-loss gate fail (see
+    docs/PARITY.md, LightGCN pretrainer section); pass an explicit value to
+    reproduce those runs or to bound wall-time at scale benchmarks.
     """
     from gdmcf_tpu.ops.metrics import lightgcn_topn_metrics
 
@@ -302,7 +311,8 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
     tx = optax.adam(lr)
     opt_state = tx.init(e0)
     rng = np.random.default_rng(seed)
-    steps_per_epoch = max(n_user // batch_size, 1)
+    if steps_per_epoch is None:
+        steps_per_epoch = max(int(train_csr.nnz) // batch_size, 1)
     # (user, pos, neg) sampling rides the C++ engine (numpy fallback inside
     # NativeCSR.sample_bpr): the pure-numpy rejection loop costs ~0.9 s per
     # 65k-triple batch at the 1M-user geometry — more than half the whole
