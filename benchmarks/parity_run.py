@@ -55,7 +55,8 @@ def run_seed(opts, seed: int) -> dict:
         lr=opts.lr, weight_decay=0.0, batch_size=opts.batch,
         steps=opts.steps, noise_schedule="linear-var",
         noise_scale=opts.noise_scale, noise_min=0.001, noise_max=0.01,
-        sampling_steps=opts.sampling_steps, mean_type="x0", reweight=True,
+        sampling_steps=opts.sampling_steps, mean_type=opts.mean_type,
+        reweight=bool(opts.reweight),
         OneHotMatrix=opts.OneHotMatrix, epochs=opts.epochs, eval_every=5,
         n_user_cap=opts.n_user_cap, fidelity=bool(opts.fidelity),
         random_seed=seed, debug=True,
@@ -115,6 +116,9 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--noise-scale", type=float, default=0.01)
     ap.add_argument("--sampling-steps", type=int, default=0)
+    ap.add_argument("--mean-type", choices=["x0", "eps"], default="x0",
+                    dest="mean_type")
+    ap.add_argument("--reweight", type=int, default=1)
     ap.add_argument("--n-user-cap", type=int, default=3000)
     ap.add_argument("--fidelity", type=int, default=1)
     ap.add_argument("--OneHotMatrix", type=int, default=2)

@@ -334,10 +334,12 @@ def run(opts) -> dict:
 
     args_ns = argparse.Namespace(
         backbone=opts.backbone, dims=opts.dims, emb_size=10, norm=False,
-        mean_type="x0", steps=opts.steps, noise_schedule="linear-var",
+        mean_type=opts.mean_type, steps=opts.steps,
+        noise_schedule="linear-var",
         noise_scale=opts.noise_scale, noise_min=0.001, noise_max=0.01,
         sampling_noise=False, sampling_steps=opts.sampling_steps,
-        reweight=True, discrete=0.9995, OneHotMatrix=opts.OneHotMatrix,
+        reweight=bool(opts.reweight), discrete=0.9995,
+        OneHotMatrix=opts.OneHotMatrix,
         batch_size=opts.batch, user_guided=1, epps0=epps0,
         gcnLayerNum=opts.gcnLayerNum, noise_type=0)
 
@@ -440,6 +442,13 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--noise-scale", type=float, default=0.01)
     ap.add_argument("--sampling-steps", type=int, default=0)
+    ap.add_argument("--mean-type", choices=["x0", "eps"], default="x0",
+                    dest="mean_type",
+                    help="ref main.py:183-188 START_X/EPSILON switch")
+    ap.add_argument("--reweight", type=int, default=1,
+                    help="ref training_losses reweight flag; 0 raises "
+                         "NameError upstream (stale `loss`, "
+                         "gaussian_diffusion.py:919-932 — SURVEY §3.5)")
     ap.add_argument("--n-user-cap", type=int, default=3000)
     # 2 = CatOneHot (two-arg backbones); 0 = plain model(x_t, ts) backbones
     # like DNN (ref gaussian_diffusion.py:885-894 branches on CatOneHot)

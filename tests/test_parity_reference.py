@@ -18,6 +18,7 @@ only — the pure-torch GCNConv shim, identity ``.cuda``) and compare:
 All tests are CPU (conftest pins jax_default_device) and slow-marked.
 """
 
+import dataclasses
 import os
 import sys
 
@@ -51,14 +52,16 @@ def _t(x):
     return torch.tensor(np.asarray(x))
 
 
-def build_flagship_pair(ref, seed=0):
+def build_flagship_pair(ref, seed=0, noise_type=0, user_guided=1):
     """Our flagship + the reference's own class with OUR weights copied in."""
     gd, rdnn, _ = ref
     import argparse
 
-    ns = argparse.Namespace(noise_type=0, gcnLayerNum=2, user_guided=1)
+    ns = argparse.Namespace(noise_type=noise_type, gcnLayerNum=2,
+                            user_guided=user_guided)
     cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[D], emb_size=10,
-                 steps=5, noise_scale=0.01)
+                 steps=5, noise_scale=0.01, noise_type=noise_type,
+                 user_guided=user_guided)
     jmodel = build_model(cfg, N_USER, N_ITEM)
     params = jmodel.init(jax.random.PRNGKey(seed))
 
@@ -237,6 +240,236 @@ def test_ablation_training_losses_moments_vs_reference(ref):
         j_means.append(float(loss.mean()))
 
     np.testing.assert_allclose(np.mean(j_means), np.mean(t_means), rtol=0.05)
+
+
+@pytest.mark.parametrize("noise_type", [1, 2])
+def test_flagship_noise_type_routing_parity(ref, noise_type):
+    """Ablation flag routing (ref DNN.py:1236-1259): noise_type=1 feeds the
+    (sliced flat) one-hot into tower 1, noise_type=2 feeds [x‖x] into tower 2,
+    and both zero the NT-Xent term. Exact forward agreement at identical
+    weights, plus the closs-zeroing contract."""
+    cfg, jmodel, params, tmodel, _ = build_flagship_pair(
+        ref, noise_type=noise_type)
+    rng = np.random.default_rng(10 + noise_type)
+    x = rng.standard_normal((B, N_ITEM)).astype(np.float32)
+    x0 = (rng.random((B, N_ITEM)) < 0.3).astype(np.float32)
+    keep = (rng.random((B, N_ITEM)) < 0.5).astype(np.float32)
+    c1 = x0 * keep
+    x_U = np.stack([1.0 - c1, c1], axis=-1).astype(np.float32)
+    ts = rng.integers(0, 5, B)
+    index = np.arange(B)
+
+    j_out, j_closs = jmodel.apply(
+        params, jnp.asarray(x), jnp.asarray(ts), jnp.asarray(x_U),
+        index=jnp.asarray(index), graph=jnp.asarray(x_U),
+        rcloss=True, train=False, rng=None)
+    with torch.no_grad():
+        t_out, t_closs = tmodel(_t(x), _t(ts), _t(x_U), index=_t(index),
+                                graph=_t(x_U).long(), RCloss=True)
+    np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                               rtol=3e-4, atol=3e-5)
+    # closs *= 0 on both sides when noise_type != 0 (ref DNN.py:1257-1259)
+    assert float(j_closs) == 0.0
+    assert float(t_closs) == 0.0
+
+
+def _discrete_pair(ref, cfg, ns):
+    """Reference GaussianDiffusionDiscrete + our Diffusion on one recipe."""
+    gd, _, _ = ref
+    mt = (gd.ModelMeanType.START_X if cfg.mean_type == "x0"
+          else gd.ModelMeanType.EPSILON)
+    diff_t = gd.GaussianDiffusionDiscrete(
+        mt, cfg.noise_schedule, cfg.noise_scale,
+        cfg.noise_min, cfg.noise_max, cfg.steps, torch.device("cpu"),
+        discrete=cfg.discrete, CatOneHot=True, epps=0.0, args=ns)
+    diff_t.indexIn = True
+    diff_j = Diffusion.create(cfg, index_in=True)
+    return diff_t, diff_j
+
+
+class _GraphProbeModel(torch.nn.Module):
+    """Denoiser stub whose output READS the synthetic graph — the live
+    flagship's scores are provably graph-independent (directed conv: user
+    rows see only self-loops, quirk 6), so gate semantics must be probed
+    with a model that consumes the graph."""
+
+    def forward(self, x, t, x_tU=None, index=None, graph=None, RCloss=False):
+        return x + 0.1 * graph[..., 1].float()
+
+
+def _graph_probe_apply(params, x, ts, x_U=None, index=None, graph=None,
+                       rcloss=False, train=True, rng=None):
+    return x + 0.1 * graph[..., 1].astype(x.dtype), None
+
+
+def _p_sample_draws(ref, user_guided, sampling_noise, draws=40, seed=7,
+                    probe=False):
+    """Score-matrix draws from BOTH sides' p_sample at identical weights and
+    fixed inputs (torch/JAX RNG streams differ by design — the comparison is
+    distributional). ``probe=True`` swaps the flagship for the graph-reading
+    stub above.
+
+    ``discrete=0.2`` (vs the recipe's 0.9995): the sprinkle probability per
+    cell is alpha_bar*(1-eps); at the production epsilon and this tiny
+    geometry the synthetic graph would grow ~0.2 cells per draw and the
+    degree gate would have nothing to gate."""
+    cfg, jmodel, params, tmodel, ns = build_flagship_pair(
+        ref, user_guided=user_guided)
+    cfg = dataclasses.replace(cfg, discrete=0.2)
+    diff_t, diff_j = _discrete_pair(ref, cfg, ns)
+    if probe:
+        tmodel, japply = _GraphProbeModel(), _graph_probe_apply
+        params = None
+    else:
+        japply = jmodel.apply
+
+    rng = np.random.default_rng(seed)
+    # varied row degrees so the degree gate has non-trivial probabilities
+    p_row = np.linspace(0.05, 0.6, B)[:, None]
+    x0 = (rng.random((B, N_ITEM)) < p_row).astype(np.float32)
+    index = np.arange(B)
+
+    t_draws = []
+    for d in range(draws):
+        torch.manual_seed(1000 + d)
+        with torch.no_grad():
+            out = diff_t.p_sample(tmodel, _t(x0), 0,
+                                  sampling_noise=sampling_noise,
+                                  index=_t(index))
+        t_draws.append(out.numpy())
+
+    j_draws = []
+    for d in range(draws):
+        out = diff_j.p_sample(japply, params, jnp.asarray(x0),
+                              jnp.asarray(index), jax.random.PRNGKey(d),
+                              sampling_steps=0, sampling_noise=sampling_noise)
+        j_draws.append(np.asarray(out))
+    return np.stack(t_draws), np.stack(j_draws)
+
+
+def test_user_guided_gate_parity_vs_reference(ref):
+    """--user_guided routing (ref gaussian_diffusion.py:720-723), two layers:
+
+    1. On the LIVE flagship the gate must have EXACTLY no effect on scores —
+       in the reference, because the directed conv leaves user rows
+       graph-independent (quirk 6), the entire degree-guided synthetic-graph
+       growth is dead code at score level. Both implementations must
+       reproduce that invariance bit-for-bit (same seeds, gate on vs off).
+    2. With a graph-READING probe model, the gate must move outputs, the
+       ungated branch must agree across frameworks in per-element mean, and
+       the gate's shift must match in size."""
+    # layer 1: score-level invariance on the real flagship
+    t_off, j_off = _p_sample_draws(ref, 0, False, draws=4)
+    t_on, j_on = _p_sample_draws(ref, 1, False, draws=4)
+    np.testing.assert_array_equal(t_on, t_off)
+    np.testing.assert_array_equal(j_on, j_off)
+
+    # layer 2: gate semantics through the probe
+    t_off, j_off = _p_sample_draws(ref, 0, False, probe=True)
+    t_on, j_on = _p_sample_draws(ref, 1, False, probe=True)
+
+    np.testing.assert_allclose(j_off.mean(), t_off.mean(), rtol=0.02)
+    se = t_off.std(axis=0).mean() / np.sqrt(t_off.shape[0])
+    np.testing.assert_allclose(j_off.mean(axis=0), t_off.mean(axis=0),
+                               atol=max(8 * se, 5e-4))
+
+    # the gate's effect (on - off) matches in direction and size; gating
+    # can only REMOVE growth, so the shift must be negative on both sides
+    d_t = t_on.mean() - t_off.mean()
+    d_j = j_on.mean() - j_off.mean()
+    assert d_t < 0, "gate had no measurable effect in the reference probe"
+    np.testing.assert_allclose(d_j, d_t, rtol=0.25)
+
+
+def test_sampling_noise_p_sample_moments_vs_reference(ref):
+    """--sampling_noise=true adds posterior noise at every t != 0
+    (ref gaussian_diffusion.py:745-752). Mean scores must stay on the
+    deterministic path's mean, and the per-element spread across draws —
+    pure accumulated exp(0.5 log_var) noise — must match between
+    implementations."""
+    t_noisy, j_noisy = _p_sample_draws(ref, user_guided=1, sampling_noise=True)
+
+    np.testing.assert_allclose(j_noisy.mean(), t_noisy.mean(), rtol=0.02)
+    # spread: mean per-element std across draws
+    np.testing.assert_allclose(j_noisy.std(axis=0).mean(),
+                               t_noisy.std(axis=0).mean(), rtol=0.10)
+    # the noise is real (not degenerate) on both sides
+    assert t_noisy.std(axis=0).mean() > 1e-4
+    assert j_noisy.std(axis=0).mean() > 1e-4
+
+
+def test_eps_training_losses_moments_vs_reference(ref):
+    """mean_type=eps (ref main.py:183-188 EPSILON) on the LIVE discrete
+    class at identical flagship weights: the eps-target MSE, the
+    (1-ᾱ)/((1-ᾱ_prev)²(1-β)) reweight, and the t==0 likelihood term
+    (ref gaussian_diffusion.py:905-932) must give agreeing first-draw
+    per-example loss moments. Complements the 3-seed golden run
+    (docs/PARITY.md "mean_type=eps"); replaces the old finiteness-only
+    coverage as the strongest eps evidence at step level."""
+    cfg_f, jmodel, params, tmodel, ns = build_flagship_pair(ref)
+    cfg = dataclasses.replace(cfg_f, mean_type="eps", OneHotMatrix=2)
+    _, diff_j = _discrete_pair(ref, cfg, ns)
+    gd, _, _ = ref
+    rng = np.random.default_rng(5)
+    x0 = (rng.random((B, N_ITEM)) < 0.25).astype(np.float32)
+    index = np.arange(B)
+    draws = 50
+
+    torch.manual_seed(0)
+    t_all = []
+    for _ in range(draws):
+        # fresh diffusion per draw keeps both sides in the uniform-pt phase
+        diff_t, _ = _discrete_pair(ref, cfg, ns)
+        with torch.no_grad():
+            terms = diff_t.training_losses(tmodel, _t(x0), True,
+                                           index=_t(index))
+        t_all.append(terms["loss"].numpy())
+    t_all = np.concatenate(t_all)
+
+    j_all = []
+    for d in range(draws):
+        lt = LtState.create(cfg.steps)
+        loss, _, aux = diff_j.training_losses(
+            jmodel.apply, params, jnp.asarray(x0), jnp.asarray(index),
+            jax.random.PRNGKey(d), lt, reweight=True, train=False)
+        # compare the weighted loss exactly as the reference stores it
+        # (terms["loss"]), i.e. before the /pt and +0.1*closs the trainer adds
+        j_all.append(np.asarray(loss * aux["pt"]) -
+                     0.1 * float(aux["closs"]) * np.asarray(aux["pt"]))
+    j_all = np.concatenate(j_all)
+
+    np.testing.assert_allclose(j_all.mean(), t_all.mean(), rtol=0.05)
+    np.testing.assert_allclose(j_all.std(), t_all.std(), rtol=0.15)
+
+
+def test_eps_reweight_false_reference_hazard(ref):
+    """reweight=False is a live hazard upstream: the reference's
+    training_losses never binds `loss` on that branch and dies with
+    UnboundLocalError at `terms["loss"] = weight * loss`
+    (ref gaussian_diffusion.py:919-932; SURVEY §3.5). Our corrected branch
+    (engine.py: weight=1, loss=mse) must return finite unweighted mse —
+    this test pins BOTH behaviors so the divergence stays documented."""
+    cfg_f, jmodel, params, tmodel, ns = build_flagship_pair(ref)
+    cfg = dataclasses.replace(cfg_f, mean_type="eps", OneHotMatrix=2)
+    diff_t, diff_j = _discrete_pair(ref, cfg, ns)
+    rng = np.random.default_rng(6)
+    x0 = (rng.random((B, N_ITEM)) < 0.25).astype(np.float32)
+    index = np.arange(B)
+
+    with pytest.raises((NameError, UnboundLocalError)):
+        with torch.no_grad():
+            diff_t.training_losses(tmodel, _t(x0), False, index=_t(index))
+
+    lt = LtState.create(cfg.steps)
+    loss, _, aux = diff_j.training_losses(
+        jmodel.apply, params, jnp.asarray(x0), jnp.asarray(index),
+        jax.random.PRNGKey(0), lt, reweight=False, train=False)
+    loss = np.asarray(loss)
+    assert np.all(np.isfinite(loss))
+    # unweighted: stored loss == (mse + 0.1*closs) / pt elementwise
+    expect = (np.asarray(aux["mse"]) + 0.1 * float(aux["closs"])) \
+        / np.asarray(aux["pt"])
+    np.testing.assert_allclose(loss, expect, rtol=1e-5)
 
 
 def test_dnnlightgcn_forward_parity_vs_reference_class(ref):
