@@ -139,6 +139,10 @@ def main():
     ap.add_argument("--procs", action="store_true",
                     help="drive load from separate client PROCESSES "
                          "(honest tail latency at high concurrency)")
+    ap.add_argument("--server-procs", type=int, default=1,
+                    help=">1: stand up the pre-forked SO_REUSEPORT "
+                         "multi-process front (serve_http --procs) instead "
+                         "of the single-process server")
     opts = ap.parse_args()
 
     import os
@@ -164,18 +168,48 @@ def main():
                  sampling_steps=0, debug=True)
     rec = build_recommender(cfg, None, train, n_user, n_item,
                             serve_batch=opts.serve_batch, k_max=opts.k_max)
-    srv = make_server(rec, "127.0.0.1", 0)
-    threading.Thread(target=srv.serve_forever, daemon=True).start()
-    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    backend = fronts = srv = None
+    if opts.server_procs > 1:
+        import socket
+
+        from gdmcf_tpu.serve_http import serve_multiproc
+
+        probe = socket.socket()
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+        probe.close()
+        backend, fronts = serve_multiproc(rec, "127.0.0.1", port,
+                                          opts.server_procs)
+        base = f"http://127.0.0.1:{port}"
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                _stats(base)
+                break
+            except OSError:
+                time.sleep(0.2)
+    else:
+        srv = make_server(rec, "127.0.0.1", 0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
 
     # warm the HTTP + dispatch path before timing
     for _ in range(8):
         _hit(base, 0)
 
     level = run_level_procs if opts.procs else run_level
-    for c in opts.levels:
-        print(json.dumps(level(base, n_user, c, opts.reqs)), flush=True)
-    srv.shutdown()
+    try:
+        for c in opts.levels:
+            out = level(base, n_user, c, opts.reqs)
+            out["server_procs"] = opts.server_procs
+            print(json.dumps(out), flush=True)
+    finally:
+        if srv is not None:
+            srv.shutdown()
+        if backend is not None:
+            backend.close()
+            for p in fronts:
+                p.terminate()
 
 
 if __name__ == "__main__":

@@ -21,10 +21,9 @@ Run:  python -m gdmcf_tpu.serve_http -c configs/yelpOneEmbGcn.yaml \
 
 from __future__ import annotations
 
-import json
+import os
 import threading
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
+from http.server import ThreadingHTTPServer
 
 import numpy as np
 
@@ -118,88 +117,38 @@ class Coalescer:
 def make_server(recommender, host: str = "127.0.0.1", port: int = 8080
                 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; ``.serve_forever()`` to run."""
+    from gdmcf_tpu.serve_front import make_handler
+
     coalescer = Coalescer(recommender)
-
-    class Handler(BaseHTTPRequestHandler):
-        def log_message(self, fmt, *args):  # quiet by default
-            pass
-
-        def _reply(self, code: int, payload: dict) -> None:
-            body = json.dumps(payload).encode()
-            self.send_response(code)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
-
-        def _recommend(self, users, k: int, exclude: bool) -> None:
-            if not users:
-                self._reply(400, {"error": "users must be non-empty"})
-                return
-            if not 1 <= k <= recommender.k_max:
-                self._reply(400, {"error": f"k must be in [1, "
-                                           f"{recommender.k_max}] (k_max)"})
-                return
-            n_user = recommender.history.n_user
-            bad = [u for u in users if not 0 <= u < n_user]
-            if bad:
-                self._reply(400, {"error": f"user ids out of range: {bad[:5]}"})
-                return
-            try:
-                items = coalescer.submit(users, k, exclude)
-            except Exception as e:
-                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
-                return
-            self._reply(200, {"users": [int(u) for u in users],
-                              "items": [[int(i) for i in row]
-                                        for row in items]})
-
-        def do_GET(self):
-            url = urlparse(self.path)
-            if url.path == "/healthz":
-                self._reply(200, {"ok": True,
-                                  "n_user": recommender.history.n_user,
-                                  "n_item": recommender.history.n_item,
-                                  "serve_batch": recommender.serve_batch,
-                                  "k_max": recommender.k_max,
-                                  "stats": dict(coalescer.stats)})
-                return
-            if url.path == "/recommend":
-                q = parse_qs(url.query)
-                try:
-                    users = [int(u) for u in q.get("users", [""])[0].split(",")
-                             if u != ""]
-                    k = int(q.get("k", ["20"])[0])
-                    # same truthy convention as the config bool flags (the
-                    # old `!= "false"` made "False"/"0" silently truthy)
-                    exclude = (q.get("exclude_history", ["true"])[0]
-                               .strip().lower() in ("1", "true", "yes", "y"))
-                except ValueError:
-                    self._reply(400, {"error": "malformed query"})
-                    return
-                self._recommend(users, k, exclude)
-                return
-            self._reply(404, {"error": "unknown path"})
-
-        def do_POST(self):
-            url = urlparse(self.path)
-            if url.path != "/recommend":
-                self._reply(404, {"error": "unknown path"})
-                return
-            try:
-                n = int(self.headers.get("Content-Length", "0"))
-                req = json.loads(self.rfile.read(n) or b"{}")
-                users = [int(u) for u in req["users"]]
-                k = int(req.get("k", 20))
-                exclude = bool(req.get("exclude_history", True))
-            except (KeyError, TypeError, ValueError, json.JSONDecodeError):
-                self._reply(400, {"error": "body must be JSON with 'users'"})
-                return
-            self._recommend(users, k, exclude)
-
-    srv = ThreadingHTTPServer((host, port), Handler)
+    limits = {"n_user": recommender.history.n_user,
+              "n_item": recommender.history.n_item,
+              "serve_batch": recommender.serve_batch,
+              "k_max": recommender.k_max}
+    handler = make_handler(limits, coalescer.submit,
+                           lambda: dict(coalescer.stats))
+    srv = ThreadingHTTPServer((host, port), handler)
     srv.coalescer = coalescer  # type: ignore[attr-defined]  (introspection)
     return srv
+
+
+def serve_multiproc(recommender, host: str, port: int, procs: int,
+                    sock_path: "str | None" = None):
+    """N pre-forked SO_REUSEPORT HTTP fronts + this (chip-owning) process as
+    the coalescing backend. Returns (Backend, [Popen fronts]); blocks only in
+    ``main``. See serve_front docstring for the architecture."""
+    import tempfile
+
+    from gdmcf_tpu.serve_front import Backend, spawn_fronts
+
+    if port == 0:
+        raise ValueError("multiproc mode needs an explicit --port "
+                         "(SO_REUSEPORT fronts must agree on it)")
+    coalescer = Coalescer(recommender)
+    sock_path = sock_path or os.path.join(
+        tempfile.gettempdir(), f"gdmcf_serve_{os.getpid()}.sock")
+    backend = Backend(coalescer, recommender, sock_path)
+    fronts = spawn_fronts(procs, sock_path, host, port)
+    return backend, fronts
 
 
 def main(argv=None):
@@ -218,6 +167,11 @@ def main(argv=None):
     http_flags.add_argument("--port", type=int, default=8080)
     http_flags.add_argument("--serve_batch", type=int, default=256)
     http_flags.add_argument("--k_max", type=int, default=100)
+    http_flags.add_argument("--procs", type=int, default=1,
+                            help=">1: pre-fork that many SO_REUSEPORT HTTP "
+                                 "front processes; this process keeps the "
+                                 "chip + coalescer only (fixes the 64-client "
+                                 "p99 tail, docs/OPERATIONS.md)")
     ns, rest = http_flags.parse_known_args(args)
     cfg = parse_args(rest)
 
@@ -226,6 +180,18 @@ def main(argv=None):
     rec = build_recommender(cfg, ns.ckpt_dir_serve or cfg.ckpt_dir, train,
                             n_user, n_item, serve_batch=ns.serve_batch,
                             k_max=ns.k_max)
+    if ns.procs > 1:
+        backend, fronts = serve_multiproc(rec, ns.host, ns.port, ns.procs)
+        print(f"serving on http://{ns.host}:{ns.port} "
+              f"({ns.procs} fronts, backend pid {os.getpid()})", flush=True)
+        try:
+            for p in fronts:
+                p.wait()
+        finally:
+            backend.close()
+            for p in fronts:
+                p.terminate()
+        return
     srv = make_server(rec, ns.host, ns.port)
     print(f"serving on http://{ns.host}:{srv.server_address[1]}", flush=True)
     srv.serve_forever()

@@ -179,6 +179,59 @@ def test_get_exclude_history_false_variants(server):
     np.testing.assert_array_equal(np.asarray(body["items"]), masked)
 
 
+def test_multiproc_front_end_to_end(server):
+    """The pre-forked SO_REUSEPORT front (serve_http --procs N): two front
+    PROCESSES forward over the unix-socket RPC to the chip-owning backend;
+    results must be identical to the in-process server's, errors must come
+    back as 400s, and /healthz must ride the RPC."""
+    import socket
+    import time
+    import urllib.error
+
+    from gdmcf_tpu.serve_http import serve_multiproc
+
+    rec, _ = server
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+    backend, fronts = serve_multiproc(rec, "127.0.0.1", port, 2)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        deadline = time.time() + 60
+        body = None
+        while time.time() < deadline:
+            try:
+                code, body = _get(base + "/healthz")
+                break
+            except OSError:
+                time.sleep(0.2)
+        assert body is not None and body["ok"] and body["n_user"] == 40
+
+        code, body = _get(base + "/recommend?users=0,3,7&k=5")
+        assert code == 200
+        direct, _ = rec.recommend([0, 3, 7], k=5)
+        np.testing.assert_array_equal(np.asarray(body["items"]), direct)
+
+        # errors validate in the front, never reach the backend
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(base + "/recommend?users=999&k=5")
+        assert e.value.code == 400
+
+        # both fronts are alive and answering (hammer the shared port; the
+        # kernel balances accepts across the SO_REUSEPORT group)
+        for u in range(8):
+            code, _ = _get(base + f"/recommend?users={u}&k=3")
+            assert code == 200
+        assert all(p.poll() is None for p in fronts)
+    finally:
+        backend.close()
+        for p in fronts:
+            p.terminate()
+        for p in fronts:
+            p.wait(timeout=10)
+
+
 def test_coalescer_error_propagates_and_recovers(server):
     """A dispatch failure must surface to every waiter in that batch as a
     500 (never a hang), and the dispatcher thread must survive to serve
