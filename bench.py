@@ -36,7 +36,7 @@ N_USER, N_ITEM = 5949, 2810
 
 def measure(batch=1024, iters=200, warmup=5, seed=0, rng_impl="rbg",
             steps_per_call=100, param_dtype="float32",
-            moment_dtype="bfloat16"):
+            moment_dtype="bfloat16", dims=(1000,)):
     """Steady-state training throughput. Methodology for relayed/dev
     backends where async timing lies (block_until_ready is a no-op and
     repeated identical calls can be elided):
@@ -47,7 +47,8 @@ def measure(batch=1024, iters=200, warmup=5, seed=0, rng_impl="rbg",
     - a scalar VALUE fetch after every call forces the chain to execute;
     - the measured fetch round-trip is subtracted.
     """
-    cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[1000], emb_size=10,
+    cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=list(dims),
+                 emb_size=10,
                  steps=5, noise_scale=0.01, noise_min=0.001, noise_max=0.01,
                  batch_size=batch, lr=1e-5, rng_impl=rng_impl,
                  sampling_steps=0, train_steps_per_call=steps_per_call,
@@ -87,7 +88,7 @@ V5E_PEAK_BF16_FLOPS = 197e12  # one v5e chip, bf16 MXU peak
 
 
 def measure_mfu(batch=1024, iters=1000, seed=0, rng_impl="rbg",
-                steps_per_call=100):
+                steps_per_call=100, dims=(1000,)):
     """One defensible MFU number (VERDICT r2 weak item 2): XLA's own FLOP
     count for the compiled k-fused train program (cost_analysis, divided by
     k) over the measured amortized step time, against the v5e bf16 peak.
@@ -95,7 +96,8 @@ def measure_mfu(batch=1024, iters=1000, seed=0, rng_impl="rbg",
     cost_analysis counts every HLO flop in the program — forward, backward,
     optimizer, Lt ring — so this is the whole-step MFU, not a matmul-only
     figure."""
-    cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[1000], emb_size=10,
+    cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=list(dims),
+                 emb_size=10,
                  steps=5, noise_scale=0.01, noise_min=0.001, noise_max=0.01,
                  batch_size=batch, lr=1e-5, rng_impl=rng_impl,
                  sampling_steps=0, train_steps_per_call=steps_per_call)
@@ -118,7 +120,7 @@ def measure_mfu(batch=1024, iters=1000, seed=0, rng_impl="rbg",
     flops_per_step = float(ca["flops"])
 
     eps = measure(batch=batch, iters=iters, seed=seed, rng_impl=rng_impl,
-                  steps_per_call=steps_per_call)
+                  steps_per_call=steps_per_call, dims=dims)
     step_s = batch / eps
     eff = flops_per_step / step_s
     return {
