@@ -23,16 +23,24 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=400)
     ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override batch size (default: the recipe's 1024). "
+                         "probe_mxu.py showed the quadratic [B,B] NT-Xent "
+                         "term dominating the step at 4096 — the regime "
+                         "where the forms can actually differ")
+    ap.add_argument("--impls", nargs="+",
+                    default=["softmax", "lse", "remat"],
+                    help="forms to A/B (each runs twice, ABAB, for drift)")
     args = ap.parse_args()
 
     import gdmcf_tpu.models.layers as layers
     from benchmarks.profile_train2 import fused_time, make_trainer
 
-    for impl in ("softmax", "lse", "remat",
-                 "softmax", "lse", "remat"):  # ABCABC for drift
+    over = {"batch_size": args.batch} if args.batch else {}
+    for impl in list(args.impls) * 2:  # ABAB for drift
         layers._NT_XENT_IMPL = impl
-        tr = make_trainer()
-        ms = fused_time(tr, args.iters, args.k)
+        tr = make_trainer(**over)
+        ms = fused_time(tr, args.iters, args.k, batch=args.batch)
         print(f"ntxent={impl:8s} {ms:6.3f} ms/step", flush=True)
 
 

@@ -25,13 +25,14 @@ N_USER, N_ITEM = 5949, 2810
 B = 1024
 
 
-def fused_time(trainer, iters, k):
+def fused_time(trainer, iters, k, batch=None):
     """bench.py measure(): per-step ms of the k-fused production program."""
     import jax.numpy as jnp
+    b = batch or B
     state = trainer.init_state()
     rng = np.random.default_rng(0)
-    x = jnp.asarray((rng.random((B, N_ITEM)) < 0.01).astype(np.float32))
-    idx = jnp.asarray(rng.permutation(N_USER)[:B].astype(np.int32))
+    x = jnp.asarray((rng.random((b, N_ITEM)) < 0.01).astype(np.float32))
+    idx = jnp.asarray(rng.permutation(N_USER)[:b].astype(np.int32))
     xs = jnp.broadcast_to(x, (k,) + x.shape)
     iis = jnp.broadcast_to(idx, (k,) + idx.shape)
     state, losses = trainer._train_multi(state, xs, iis)

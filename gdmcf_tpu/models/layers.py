@@ -126,9 +126,24 @@ def cosine_scores(user_vecs: jnp.ndarray, item_table: jnp.ndarray,
 
 # NT-Xent inner form: "softmax" materializes the normalized [B, B] matrix
 # (the shape the reference computes); "lse" needs only the row logsumexp and
-# the diagonal. Same math — kept switchable for the on-chip A/B
-# (benchmarks/ab_ntxent.py); flip only on a measured win.
-_NT_XENT_IMPL = "softmax"
+# the diagonal. Same math — switchable for the on-chip A/B
+# (benchmarks/ab_ntxent.py). "auto" (default) routes on the STATIC batch
+# size: at the recipe's 1024 the forms are within measurement noise
+# (round-3 A/B, BENCH_NOTES dead-end #3), but once the quadratic [B,B]
+# term dominates the step the lse form's avoided materialization is a real
+# HBM win — measured 8.17 -> 7.29 ms/step (-10.7%) at batch 4096
+# (BENCH_NOTES round-4 "large-batch NT-Xent"). Threshold = the measured
+# crossover.
+_NT_XENT_IMPL = "auto"
+_NT_XENT_LSE_MIN_BATCH = 4096
+
+
+def _resolve_ntxent_impl(batch: int) -> str:
+    """'auto' -> concrete form by static batch size; explicit forms pass
+    through (the A/B + form-equality tests set them directly)."""
+    if _NT_XENT_IMPL != "auto":
+        return _NT_XENT_IMPL
+    return "lse" if batch >= _NT_XENT_LSE_MIN_BATCH else "softmax"
 
 
 def nt_xent_softmax_core(z1: jnp.ndarray, z2: jnp.ndarray,
@@ -149,7 +164,8 @@ def nt_xent_loss(z1: jnp.ndarray, z2: jnp.ndarray, temperature: float = 0.1,
     The reference's diagonal masking is commented out, so the softmax runs over
     the full row including the positive; loss = -log(diag / sum(off-diag)).
     """
-    if _NT_XENT_IMPL == "remat":
+    impl = _resolve_ntxent_impl(z1.shape[0])
+    if impl == "remat":
         # A/B variant (benchmarks/ab_ntxent.py): recompute the [B, B]
         # softmax in the backward instead of storing it — trades ~8 MB of
         # HBM residency for one extra sim matmul
@@ -159,7 +175,7 @@ def nt_xent_loss(z1: jnp.ndarray, z2: jnp.ndarray, temperature: float = 0.1,
             nt_xent_softmax_core, temperature=temperature, eps=eps))
         return core(z1, z2)
     sim = (z1 @ z2.T) / temperature
-    if _NT_XENT_IMPL == "lse":
+    if impl == "lse":
         # Algebraically identical: softmax rows sum to 1, so the off-diagonal
         # mass is 1 - diag; only the row logsumexp and the diagonal are
         # needed, never the normalized [B, B] matrix. diag <= 1 because the

@@ -126,6 +126,26 @@ def test_nt_xent_impls_agree(rng):
     assert float(jnp.abs(grads["softmax"] - grads["lse"]).max()) < 1e-6
 
 
+def test_nt_xent_auto_routing():
+    """'auto' (the production default) picks softmax at the recipe batch
+    and lse once the quadratic [B,B] term dominates (measured crossover,
+    docs/BENCH_NOTES.md round-4 large-batch section); explicit forms pass
+    through untouched."""
+    import gdmcf_tpu.models.layers as layers
+
+    assert layers._NT_XENT_IMPL == "auto"  # production default
+    thr = layers._NT_XENT_LSE_MIN_BATCH
+    assert layers._resolve_ntxent_impl(1024) == "softmax"
+    assert layers._resolve_ntxent_impl(thr - 1) == "softmax"
+    assert layers._resolve_ntxent_impl(thr) == "lse"
+    saved = layers._NT_XENT_IMPL
+    try:
+        layers._NT_XENT_IMPL = "remat"
+        assert layers._resolve_ntxent_impl(10_000) == "remat"
+    finally:
+        layers._NT_XENT_IMPL = saved
+
+
 def test_noise_type_ablation_zeroes_closs():
     cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[16], emb_size=10,
                  noise_type=1)
