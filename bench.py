@@ -57,7 +57,9 @@ def measure(batch=1024, iters=200, warmup=5, seed=0, rng_impl="rbg",
     state = trainer.init_state()
     rng = np.random.default_rng(seed)
     x = jnp.asarray((rng.random((batch, N_ITEM)) < 0.01).astype(np.float32))
-    idx = jnp.asarray(rng.permutation(N_USER)[:batch].astype(np.int32))
+    idx = jnp.asarray((rng.permutation(N_USER)[:batch] if batch <= N_USER
+                   else rng.integers(0, N_USER, size=batch))
+                  .astype(np.int32))
     k = max(steps_per_call, 1)
     xs = jnp.broadcast_to(x, (k,) + x.shape)
     iis = jnp.broadcast_to(idx, (k,) + idx.shape)
@@ -105,7 +107,9 @@ def measure_mfu(batch=1024, iters=1000, seed=0, rng_impl="rbg",
     state = trainer.init_state()
     rng = np.random.default_rng(seed)
     x = jnp.asarray((rng.random((batch, N_ITEM)) < 0.01).astype(np.float32))
-    idx = jnp.asarray(rng.permutation(N_USER)[:batch].astype(np.int32))
+    idx = jnp.asarray((rng.permutation(N_USER)[:batch] if batch <= N_USER
+                   else rng.integers(0, N_USER, size=batch))
+                  .astype(np.int32))
     k = max(steps_per_call, 1)
     xs = jnp.broadcast_to(x, (k,) + x.shape)
     iis = jnp.broadcast_to(idx, (k,) + idx.shape)
@@ -152,7 +156,9 @@ def measure_infer(batch=1024, iters=20, warmup=3, seed=0, top_k=100):
     state = trainer.init_state()
     rng = np.random.default_rng(seed)
     x = jnp.asarray((rng.random((batch, N_ITEM)) < 0.01).astype(np.float32))
-    idx = jnp.asarray(rng.permutation(N_USER)[:batch].astype(np.int32))
+    idx = jnp.asarray((rng.permutation(N_USER)[:batch] if batch <= N_USER
+                   else rng.integers(0, N_USER, size=batch))
+                  .astype(np.int32))
     key = jax.random.PRNGKey(0)
 
     def run(sub):

@@ -44,9 +44,11 @@ def main():
         row = {"sweep": "batch", "batch": b, "dims": [1000], **out}
         rows.append(row)
         print(json.dumps(row), flush=True)
-    # sweep 2: dims at the recipe batch 1024 (1000 already covered above)
+    # sweep 2: dims at the recipe batch 1024 (skip 1000 only if sweep 1
+    # already produced the batch=1024, dims=[1000] anchor row)
+    have_anchor = any(r["batch"] == 1024 for r in rows)
     for d in opts.dims:
-        if d == 1000:
+        if d == 1000 and have_anchor:
             continue
         out = measure_mfu(batch=1024, iters=opts.iters, dims=(d,))
         row = {"sweep": "dims", "batch": 1024, "dims": [d], **out}

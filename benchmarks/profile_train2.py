@@ -32,7 +32,11 @@ def fused_time(trainer, iters, k, batch=None):
     state = trainer.init_state()
     rng = np.random.default_rng(0)
     x = jnp.asarray((rng.random((b, N_ITEM)) < 0.01).astype(np.float32))
-    idx = jnp.asarray(rng.permutation(N_USER)[:b].astype(np.int32))
+    # permutation truncates silently when b > n_user; sample with
+    # replacement past that point (a batch can repeat users)
+    idx = (rng.permutation(N_USER)[:b] if b <= N_USER
+           else rng.integers(0, N_USER, size=b))
+    idx = jnp.asarray(idx.astype(np.int32))
     xs = jnp.broadcast_to(x, (k,) + x.shape)
     iis = jnp.broadcast_to(idx, (k,) + idx.shape)
     state, losses = trainer._train_multi(state, xs, iis)

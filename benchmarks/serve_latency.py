@@ -182,11 +182,18 @@ def main():
                                           opts.server_procs)
         base = f"http://127.0.0.1:{port}"
         deadline = time.time() + 30
-        while time.time() < deadline:
+        while True:
             try:
                 _stats(base)
                 break
             except OSError:
+                if time.time() > deadline:
+                    # fail HERE, not at the first timed request (e.g. the
+                    # probed port was taken between probe.close() and the
+                    # fronts' SO_REUSEPORT bind, or the fronts died on boot)
+                    raise RuntimeError(
+                        f"multiproc front never became ready on {base}; "
+                        f"front rcs: {[p.poll() for p in fronts]}")
                 time.sleep(0.2)
     else:
         srv = make_server(rec, "127.0.0.1", 0)
@@ -210,6 +217,11 @@ def main():
             backend.close()
             for p in fronts:
                 p.terminate()
+            for p in fronts:  # reap — terminate() alone leaves zombies
+                try:
+                    p.wait(timeout=10)
+                except Exception:
+                    pass
 
 
 if __name__ == "__main__":

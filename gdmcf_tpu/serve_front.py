@@ -113,6 +113,13 @@ class Backend:
                     msg = _recv_msg(conn)
                 except (ConnectionError, EOFError, OSError):
                     return
+                except Exception:
+                    # corrupt frame (e.g. UnpicklingError from a truncated
+                    # write or a stray local process on the socket): the
+                    # stream framing is lost, so no reply is possible —
+                    # drop the connection instead of killing this thread
+                    # with an unhandled traceback
+                    return
                 try:
                     if msg[0] == "info":
                         reply = ("ok", self.info())

@@ -144,8 +144,14 @@ def serve_multiproc(recommender, host: str, port: int, procs: int,
         raise ValueError("multiproc mode needs an explicit --port "
                          "(SO_REUSEPORT fronts must agree on it)")
     coalescer = Coalescer(recommender)
+    # pid alone collides when one process stands up two servers (and a
+    # crashed predecessor's stale path would be unlinked out from under a
+    # LIVE backend by Backend.__init__) — salt with a uuid
+    import uuid
+
     sock_path = sock_path or os.path.join(
-        tempfile.gettempdir(), f"gdmcf_serve_{os.getpid()}.sock")
+        tempfile.gettempdir(),
+        f"gdmcf_serve_{os.getpid()}_{uuid.uuid4().hex[:8]}.sock")
     backend = Backend(coalescer, recommender, sock_path)
     fronts = spawn_fronts(procs, sock_path, host, port)
     return backend, fronts
@@ -181,16 +187,43 @@ def main(argv=None):
                             n_user, n_item, serve_batch=ns.serve_batch,
                             k_max=ns.k_max)
     if ns.procs > 1:
+        import time as _time
+
+        from gdmcf_tpu.serve_front import spawn_fronts
+
         backend, fronts = serve_multiproc(rec, ns.host, ns.port, ns.procs)
         print(f"serving on http://{ns.host}:{ns.port} "
               f"({ns.procs} fronts, backend pid {os.getpid()})", flush=True)
+        # supervise: a dead front silently degrades capacity (the very tail
+        # problem the fronts fix), so respawn it — bounded, to fail loudly
+        # on a crash loop (e.g. the port became unbindable) instead of
+        # spinning
+        restarts_left = 3 * ns.procs
         try:
-            for p in fronts:
-                p.wait()
+            while True:
+                _time.sleep(1.0)
+                for i, p in enumerate(fronts):
+                    rc = p.poll()
+                    if rc is None:
+                        continue
+                    if restarts_left <= 0:
+                        raise RuntimeError(
+                            f"front pid {p.pid} exited rc={rc} and the "
+                            f"restart budget is exhausted — shutting down")
+                    restarts_left -= 1
+                    print(f"front pid {p.pid} exited rc={rc}; respawning "
+                          f"({restarts_left} restarts left)", flush=True)
+                    fronts[i] = spawn_fronts(1, backend.sock_path,
+                                             ns.host, ns.port)[0]
         finally:
             backend.close()
             for p in fronts:
                 p.terminate()
+            for p in fronts:
+                try:
+                    p.wait(timeout=10)
+                except Exception:
+                    pass
         return
     srv = make_server(rec, ns.host, ns.port)
     print(f"serving on http://{ns.host}:{srv.server_address[1]}", flush=True)

@@ -466,9 +466,12 @@ def _eps_hazard_check(ref):
         jax.random.PRNGKey(0), lt, reweight=False, train=False)
     loss = np.asarray(loss)
     assert np.all(np.isfinite(loss))
-    # unweighted: stored loss == (mse + 0.1*closs) / pt elementwise
-    expect = (np.asarray(aux["mse"]) + 0.1 * float(aux["closs"])) \
-        / np.asarray(aux["pt"])
+    # unweighted: the engine composes mse/pt THEN adds the closs term
+    # (engine.py:444-446: final = weighted/pt; final += 0.1*closs) — pt≡1
+    # here (fresh LtState -> uniform phase) but the contract must be
+    # asserted in the engine's order so a warmed-Lt variant still holds
+    expect = (np.asarray(aux["mse"]) / np.asarray(aux["pt"])
+              + 0.1 * float(aux["closs"]))
     np.testing.assert_allclose(loss, expect, rtol=1e-5)
 
 
