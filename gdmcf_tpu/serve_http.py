@@ -157,6 +157,37 @@ def serve_multiproc(recommender, host: str, port: int, procs: int,
     return backend, fronts
 
 
+def supervise_fronts(backend, fronts, host: str, port: int,
+                     max_restarts: "int | None" = None, poll_s: float = 1.0,
+                     stop_event=None) -> None:
+    """Supervise pre-forked fronts: a dead front silently degrades capacity
+    (the very tail problem the fronts fix), so respawn it — bounded, to
+    fail loudly on a crash loop (e.g. the port became unbindable) instead
+    of spinning. Blocks until ``stop_event`` is set (forever if None);
+    raises RuntimeError when the restart budget runs out. Mutates
+    ``fronts`` in place so the caller's handles stay current."""
+    import time as _time
+
+    from gdmcf_tpu.serve_front import spawn_fronts
+
+    restarts_left = (3 * len(fronts) if max_restarts is None
+                     else max_restarts)
+    while stop_event is None or not stop_event.is_set():
+        _time.sleep(poll_s)
+        for i, p in enumerate(fronts):
+            rc = p.poll()
+            if rc is None:
+                continue
+            if restarts_left <= 0:
+                raise RuntimeError(
+                    f"front pid {p.pid} exited rc={rc} and the restart "
+                    f"budget is exhausted — shutting down")
+            restarts_left -= 1
+            print(f"front pid {p.pid} exited rc={rc}; respawning "
+                  f"({restarts_left} restarts left)", flush=True)
+            fronts[i] = spawn_fronts(1, backend.sock_path, host, port)[0]
+
+
 def main(argv=None):
     import argparse
     import os
@@ -187,34 +218,11 @@ def main(argv=None):
                             n_user, n_item, serve_batch=ns.serve_batch,
                             k_max=ns.k_max)
     if ns.procs > 1:
-        import time as _time
-
-        from gdmcf_tpu.serve_front import spawn_fronts
-
         backend, fronts = serve_multiproc(rec, ns.host, ns.port, ns.procs)
         print(f"serving on http://{ns.host}:{ns.port} "
               f"({ns.procs} fronts, backend pid {os.getpid()})", flush=True)
-        # supervise: a dead front silently degrades capacity (the very tail
-        # problem the fronts fix), so respawn it — bounded, to fail loudly
-        # on a crash loop (e.g. the port became unbindable) instead of
-        # spinning
-        restarts_left = 3 * ns.procs
         try:
-            while True:
-                _time.sleep(1.0)
-                for i, p in enumerate(fronts):
-                    rc = p.poll()
-                    if rc is None:
-                        continue
-                    if restarts_left <= 0:
-                        raise RuntimeError(
-                            f"front pid {p.pid} exited rc={rc} and the "
-                            f"restart budget is exhausted — shutting down")
-                    restarts_left -= 1
-                    print(f"front pid {p.pid} exited rc={rc}; respawning "
-                          f"({restarts_left} restarts left)", flush=True)
-                    fronts[i] = spawn_fronts(1, backend.sock_path,
-                                             ns.host, ns.port)[0]
+            supervise_fronts(backend, fronts, ns.host, ns.port)
         finally:
             backend.close()
             for p in fronts:

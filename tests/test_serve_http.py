@@ -232,6 +232,83 @@ def test_multiproc_front_end_to_end(server):
             p.wait(timeout=10)
 
 
+def test_multiproc_supervisor_respawns_dead_front(server):
+    """supervise_fronts: killing a front must get it respawned (capacity
+    restored, requests keep succeeding) and exhausting the restart budget
+    must raise instead of spinning."""
+    import socket
+    import threading
+    import time
+
+    from gdmcf_tpu.serve_http import serve_multiproc, supervise_fronts
+
+    rec, _ = server
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+    backend, fronts = serve_multiproc(rec, "127.0.0.1", port, 2)
+    base = f"http://127.0.0.1:{port}"
+    stop = threading.Event()
+    sup_err = []
+
+    def run_supervisor():
+        try:
+            supervise_fronts(backend, fronts, "127.0.0.1", port,
+                             max_restarts=1, poll_s=0.1, stop_event=stop)
+        except RuntimeError as e:
+            sup_err.append(e)
+
+    t = threading.Thread(target=run_supervisor, daemon=True)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                _get(base + "/healthz")
+                break
+            except OSError:
+                time.sleep(0.2)
+        t.start()
+
+        victim = fronts[0]
+        victim.kill()
+        victim.wait(timeout=10)
+        deadline = time.time() + 20
+        while fronts[0] is victim and time.time() < deadline:
+            time.sleep(0.1)
+        assert fronts[0] is not victim, "supervisor never respawned"
+        # the respawned front comes up and the group still serves
+        deadline = time.time() + 30
+        ok = 0
+        while time.time() < deadline and ok < 6:
+            try:
+                code, _b = _get(base + f"/recommend?users={ok}&k=3")
+                assert code == 200
+                ok += 1
+            except OSError:
+                time.sleep(0.2)
+        assert ok == 6
+        assert all(p.poll() is None for p in fronts)
+
+        # budget (1) is spent: a second death must end the supervisor loudly
+        fronts[1].kill()
+        deadline = time.time() + 20
+        while not sup_err and time.time() < deadline:
+            time.sleep(0.1)
+        assert sup_err and "restart budget" in str(sup_err[0])
+    finally:
+        stop.set()
+        t.join(timeout=10) if t.ident else None
+        backend.close()
+        for p in fronts:
+            p.terminate()
+        for p in fronts:
+            try:
+                p.wait(timeout=10)
+            except Exception:
+                pass
+
+
 def test_coalescer_error_propagates_and_recovers(server):
     """A dispatch failure must surface to every waiter in that batch as a
     500 (never a hang), and the dispatcher thread must survive to serve
