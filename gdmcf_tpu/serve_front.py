@@ -86,6 +86,8 @@ class Backend:
         self._srv.bind(sock_path)
         self._srv.listen(128)
         self._shutdown = False
+        self._conns: set = set()
+        self._conns_lock = threading.Lock()
         self._accept_thread = threading.Thread(
             target=self._accept_loop, daemon=True, name="gdmcf-backend-accept")
         self._accept_thread.start()
@@ -103,10 +105,19 @@ class Backend:
                 conn, _ = self._srv.accept()
             except OSError:
                 return
+            with self._conns_lock:
+                self._conns.add(conn)
             threading.Thread(target=self._serve_conn, args=(conn,),
                              daemon=True).start()
 
     def _serve_conn(self, conn: socket.socket):
+        try:
+            self._serve_conn_inner(conn)
+        finally:
+            with self._conns_lock:
+                self._conns.discard(conn)
+
+    def _serve_conn_inner(self, conn: socket.socket):
         with conn:
             while True:
                 try:
@@ -138,10 +149,24 @@ class Backend:
                     return
 
     def close(self):
+        """Stop accepting AND sever live connections — a closed backend
+        must look DEAD to its fronts (their watchdogs key off it), not
+        half-alive through surviving per-connection threads."""
         self._shutdown = True
         try:
             self._srv.close()
         finally:
+            with self._conns_lock:
+                conns = list(self._conns)
+            for c in conns:
+                try:
+                    c.shutdown(socket.SHUT_RDWR)
+                except OSError:
+                    pass
+                try:
+                    c.close()
+                except OSError:
+                    pass
             if os.path.exists(self.sock_path):
                 os.unlink(self.sock_path)
 
@@ -278,8 +303,16 @@ def make_handler(limits: dict, submit, stats):
     return Handler
 
 
-def front_serve(sock_path: str, host: str, port: int) -> None:
-    """Run one front process: RPC pool to the backend + SO_REUSEPORT HTTP."""
+def front_serve(sock_path: str, host: str, port: int,
+                watchdog_interval: float = 2.0,
+                watchdog_failures: int = 5) -> None:
+    """Run one front process: RPC pool to the backend + SO_REUSEPORT HTTP.
+
+    A watchdog thread pings the backend; after ``watchdog_failures``
+    consecutive failures the front exits (rc 3). Without it, a dead
+    backend leaves N orphaned fronts holding the port and answering every
+    request with a 500 forever — the supervisor (or operator) owns
+    restarts, fronts own dying cleanly."""
     import time
 
     pool = _ConnPool(sock_path)
@@ -300,12 +333,34 @@ def front_serve(sock_path: str, host: str, port: int) -> None:
     def stats():
         return pool.call(("info",))["stats"]
 
+    def watchdog():
+        misses = 0
+        # a dedicated pool: liveness probes must not contend with (or be
+        # blocked behind) in-flight request connections
+        wd_pool = _ConnPool(sock_path)
+        while True:
+            time.sleep(watchdog_interval)
+            try:
+                wd_pool.call(("info",))
+                misses = 0
+            except Exception:
+                misses += 1
+                if misses >= watchdog_failures:
+                    print(f"front pid {os.getpid()}: backend at "
+                          f"{sock_path} unreachable x{misses}; exiting",
+                          flush=True)
+                    os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True,
+                     name="gdmcf-front-watchdog").start()
     handler = make_handler(info, submit, stats)
     srv = ReusePortHTTPServer((host, port), handler)
     srv.serve_forever()
 
 
-def spawn_fronts(n: int, sock_path: str, host: str, port: int) -> list:
+def spawn_fronts(n: int, sock_path: str, host: str, port: int,
+                 watchdog_interval: "float | None" = None,
+                 watchdog_failures: "int | None" = None) -> list:
     """Start N front subprocesses with the TPU site hooks stripped (the
     fronts must never register an axon client — the backend owns the chip).
     Returns the Popen handles; caller is responsible for terminating them."""
@@ -322,12 +377,15 @@ def spawn_fronts(n: int, sock_path: str, host: str, port: int) -> list:
     if repo_root not in parts:
         parts.insert(0, repo_root)
     env["PYTHONPATH"] = os.pathsep.join(parts)
+    cmd = [sys.executable, "-m", "gdmcf_tpu.serve_front",
+           "--sock", sock_path, "--host", host, "--port", str(port)]
+    if watchdog_interval is not None:
+        cmd += ["--watchdog-interval", str(watchdog_interval)]
+    if watchdog_failures is not None:
+        cmd += ["--watchdog-failures", str(watchdog_failures)]
     procs = []
     for _ in range(n):
-        procs.append(subprocess.Popen(
-            [sys.executable, "-m", "gdmcf_tpu.serve_front",
-             "--sock", sock_path, "--host", host, "--port", str(port)],
-            env=env))
+        procs.append(subprocess.Popen(cmd, env=env))
     return procs
 
 
@@ -338,8 +396,12 @@ def main(argv=None):
     ap.add_argument("--sock", required=True)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, required=True)
+    ap.add_argument("--watchdog-interval", type=float, default=2.0)
+    ap.add_argument("--watchdog-failures", type=int, default=5)
     ns = ap.parse_args(argv)
-    front_serve(ns.sock, ns.host, ns.port)
+    front_serve(ns.sock, ns.host, ns.port,
+                watchdog_interval=ns.watchdog_interval,
+                watchdog_failures=ns.watchdog_failures)
 
 
 if __name__ == "__main__":

@@ -218,6 +218,17 @@ def main(argv=None):
                             n_user, n_item, serve_batch=ns.serve_batch,
                             k_max=ns.k_max)
     if ns.procs > 1:
+        import signal
+
+        # default SIGTERM kills the process WITHOUT unwinding, orphaning N
+        # fronts that keep the port and 500 every request (until their
+        # backend watchdogs fire); convert to SystemExit so the finally
+        # below tears the group down immediately
+        def _on_sigterm(signum, frame):
+            raise SystemExit(0)
+
+        signal.signal(signal.SIGTERM, _on_sigterm)
+
         backend, fronts = serve_multiproc(rec, ns.host, ns.port, ns.procs)
         print(f"serving on http://{ns.host}:{ns.port} "
               f"({ns.procs} fronts, backend pid {os.getpid()})", flush=True)

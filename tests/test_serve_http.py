@@ -309,6 +309,134 @@ def test_multiproc_supervisor_respawns_dead_front(server):
                 pass
 
 
+def test_daemon_sigterm_tears_down_fronts(tmp_path):
+    """`kill <daemon>` must unwind (SIGTERM -> SystemExit -> finally) and
+    take the front processes down with it — the default handler would die
+    without cleanup, orphaning fronts that hold the port."""
+    import os
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    import psutil
+
+    generate_synthetic_dataset(str(tmp_path) + "/", n_user=40, n_item=32,
+                               avg_degree=6, seed=9)
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo_root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo_root] + [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                       if p and "axon_site" not in p])
+    daemon = subprocess.Popen(
+        [sys.executable, "-m", "gdmcf_tpu.serve_http",
+         "--host", "127.0.0.1", "--port", str(port), "--procs", "2",
+         "--serve_batch", "8", "--k_max", "5",
+         f"--data_path={tmp_path}/", "--dataset=wdtest", "--dims=[16]",
+         "--steps=5", "--sampling_steps=0"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        deadline = time.time() + 120
+        up = False
+        while time.time() < deadline:
+            assert daemon.poll() is None, (
+                "daemon died during startup:\n" + daemon.stdout.read())
+            try:
+                code, _b = _get(base + "/healthz")
+                up = code == 200
+                break
+            except OSError:
+                time.sleep(0.3)
+        assert up, "daemon never became ready"
+
+        fronts = psutil.Process(daemon.pid).children(recursive=True)
+        assert len(fronts) >= 2, f"expected 2 front children, saw {fronts}"
+
+        daemon.send_signal(signal.SIGTERM)
+        daemon.wait(timeout=30)
+        deadline = time.time() + 20
+        while time.time() < deadline and any(
+                p.is_running() and p.status() != psutil.STATUS_ZOMBIE
+                for p in fronts):
+            time.sleep(0.2)
+        leftover = [p for p in fronts
+                    if p.is_running() and p.status() != psutil.STATUS_ZOMBIE]
+        assert not leftover, f"orphaned fronts after SIGTERM: {leftover}"
+    finally:
+        try:
+            stragglers = psutil.Process(daemon.pid).children(recursive=True)
+        except psutil.NoSuchProcess:
+            stragglers = []
+        if daemon.poll() is None:
+            daemon.kill()
+            daemon.wait(timeout=10)
+        for p in stragglers:
+            try:
+                p.kill()
+            except psutil.NoSuchProcess:
+                pass
+
+
+def test_front_watchdog_exits_on_backend_death(server):
+    """A front whose backend dies must exit (rc 3) instead of holding the
+    port and 500ing every request forever; Backend.close() must look DEAD
+    to fronts (it severs live connections, not just new ones)."""
+    import os
+    import socket
+    import tempfile
+    import time
+    import uuid
+
+    from gdmcf_tpu.serve_front import Backend, spawn_fronts
+    from gdmcf_tpu.serve_http import Coalescer
+
+    rec, _ = server
+    sock_path = os.path.join(tempfile.gettempdir(),
+                             f"gdmcf_wd_{uuid.uuid4().hex[:8]}.sock")
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+    backend = Backend(Coalescer(rec), rec, sock_path)
+    fronts = spawn_fronts(1, sock_path, "127.0.0.1", port,
+                          watchdog_interval=0.2, watchdog_failures=3)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                code, _b = _get(base + "/healthz")
+                assert code == 200
+                break
+            except OSError:
+                time.sleep(0.2)
+
+        backend.close()
+        deadline = time.time() + 30
+        while fronts[0].poll() is None and time.time() < deadline:
+            time.sleep(0.2)
+        assert fronts[0].poll() == 3, (
+            f"front still alive (or wrong rc {fronts[0].poll()}) 30 s "
+            f"after backend death")
+    finally:
+        backend.close()
+        for p in fronts:
+            p.terminate()
+        for p in fronts:
+            try:
+                p.wait(timeout=10)
+            except Exception:
+                pass
+
+
 def test_coalescer_error_propagates_and_recovers(server):
     """A dispatch failure must surface to every waiter in that batch as a
     500 (never a hang), and the dispatcher thread must survive to serve
