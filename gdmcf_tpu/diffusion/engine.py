@@ -109,6 +109,12 @@ class Diffusion:
     noise_scale: float
     discrete_eps: float          # ref ``--discrete`` (epsilon of u_x)
     coeffs: Optional[DiffusionCoeffs] = field(compare=False, hash=False, default=None)
+    # eq/hash surrogate for the excluded table: without it, two instances
+    # built from DIFFERENT schedules (e.g. linear-var vs cosine at the same
+    # steps/noise_scale) would compare and hash EQUAL — a silent wrong-table
+    # cache hit if a Diffusion is ever used as a jit static arg / cache key.
+    # Auto-derived from the betas in __post_init__; do not pass explicitly.
+    coeffs_digest: Optional[str] = None
     cat_one_hot: bool = True     # ref CatOneHot (OneHotMatrix == 2)
     index_in: bool = True        # ref indexIn (embedding backbones)
     discrete_noise: bool = True
@@ -125,6 +131,17 @@ class Diffusion:
     #               (ref :1518-1520) with only the graph corrupted, and the
     #               degree gate is ALWAYS applied in p_sample (ref :1367)
     variant: str = "discrete"
+
+    def __post_init__(self):
+        if self.coeffs is not None and self.coeffs_digest is None:
+            import hashlib
+
+            import numpy as _np
+
+            digest = hashlib.sha1(
+                _np.asarray(self.coeffs.betas,
+                            dtype=_np.float64).tobytes()).hexdigest()
+            object.__setattr__(self, "coeffs_digest", digest)
 
     @staticmethod
     def create(cfg, mean_type: Optional[MeanType] = None, index_in: bool = True,
@@ -373,6 +390,13 @@ class Diffusion:
         train: bool = True,
     ) -> Tuple[jnp.ndarray, LtState, dict]:
         """Returns (per-example loss [B], new LtState, aux dict)."""
+        if self.coeffs is None and reweight:
+            # noise_scale==0 skips the coefficient tables; the SNR/eps
+            # reweights below would die on coeffs=None mid-trace with an
+            # opaque AttributeError (p_sample has the matching guard).
+            raise ValueError(
+                "noise_scale=0 builds no diffusion coefficient tables — "
+                "training requires reweight=False in that degenerate mode")
         B = x_start.shape[0]
         k_ts_u, k_noise_u, k_ts, k_noise, k_drop = jax.random.split(key, 5)
 

@@ -665,10 +665,6 @@ class Trainer:
         Aligned 1:1 with ``_prepare_eval_batches``'s entries via each
         entry's (start, rows). Returns None when GT rows are non-binary
         (count-valued datasets keep the host path)."""
-        gmin = gt_matrix.min() if gt_matrix.size else 0
-        gmax = gt_matrix.max() if gt_matrix.size else 0
-        if not (0 <= gmin and gmax <= 1):
-            return None
         cache = getattr(self, "_gt_cache", None)
         if cache is None:
             cache = self._gt_cache = []
@@ -679,6 +675,18 @@ class Trainer:
                     and key_tuple[3] == self.cfg.batch_size
                     and key_tuple[4] == drop):
                 return dev
+        # binary check only on a cache MISS: min/max are two full passes
+        # over the dense [n_user, n_item] GT — at large geometry that host
+        # scan per evaluate() call rivals the whole on-device eval epoch
+        # (a miss stores either the batches or the non-binary verdict)
+        gmin = gt_matrix.min() if gt_matrix.size else 0
+        gmax = gt_matrix.max() if gt_matrix.size else 0
+        if not (0 <= gmin and gmax <= 1):
+            if len(cache) >= 4:
+                cache.pop(0)
+            cache.append(((gt_matrix, eval_rows, mask_matrix,
+                           self.cfg.batch_size, drop), None))
+            return None
         from gdmcf_tpu.ops.bitpack import pack_rows
         dev = []
         for start, rows, *_r in cached:
@@ -914,7 +922,7 @@ class Trainer:
                 os.path.join(checkpointer.directory, "periodic"),
                 max_to_keep=2)
         start_epoch = 1
-        best_metric, best_epoch = -100.0, 0
+        best_metric, best_epoch, best_results = -100.0, 0, None
         if checkpointer is not None and cfg.resume:
             # resume from whichever stream holds the NEWEST step
             src, latest = checkpointer, checkpointer.latest_step()
@@ -942,9 +950,13 @@ class Trainer:
                     # run would)
                     best_metric = float(meta.get("best_metric", best_metric))
                     best_epoch = int(meta.get("best_epoch", best_epoch))
+                    # without this, a resumed run that never improves on the
+                    # restored best would end with best_results=None — no
+                    # final results block, None returned to the caller —
+                    # where the uninterrupted run would report its best
+                    best_results = meta.get("best_results")
                 else:  # no sidecar (pre-existing checkpoint): don't stop at once
                     best_epoch = max(start_epoch - 1, 0)
-        best_results = None
         topn = cfg.topN
         for epoch in range(start_epoch, cfg.epochs + 1):
             if epoch - best_epoch >= cfg.early_stop_patience:
@@ -998,14 +1010,16 @@ class Trainer:
                         # the next save (or the end-of-fit wait) syncs
                         checkpointer.save(state, extra={
                             "best_metric": float(best_metric),
-                            "best_epoch": int(best_epoch)}, block=False)
+                            "best_epoch": int(best_epoch),
+                            "best_results": best_results}, block=False)
 
             if periodic is not None and epoch % cfg.ckpt_every == 0:
                 # carries the CURRENT selection state so a periodic resume
                 # doesn't reset best tracking either
                 periodic.save(state, extra={
                     "best_metric": float(best_metric),
-                    "best_epoch": int(best_epoch)}, block=False)
+                    "best_epoch": int(best_epoch),
+                    "best_results": best_results}, block=False)
             log("Runing Epoch {:03d} train loss {:.4f} costs {}".format(
                 epoch, total_loss,
                 time.strftime("%H: %M: %S", time.gmtime(time.time() - start_time))))

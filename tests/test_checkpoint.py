@@ -95,8 +95,9 @@ def test_fit_resume_from_checkpoint(tmp_path):
 
     t1 = Trainer(cfg(2), n_user, n_item)
     logs1 = []
-    state1, _ = t1.fit(train, valid, test, log=logs1.append)
+    state1, best1 = t1.fit(train, valid, test, log=logs1.append)
     assert int(state1.step) == 2 * (n_user // 8)
+    assert best1 is not None
 
     t2 = Trainer(cfg(4), n_user, n_item)
     logs2 = []
@@ -105,6 +106,14 @@ def test_fit_resume_from_checkpoint(tmp_path):
     # the resumed run keeps the restored step counter and adds exactly the
     # remaining 2 epochs (a from-scratch retrain would end at 2 epochs' steps)
     assert int(state2.step) == 4 * (n_user // 8)
+
+    # a resume with NO remaining epochs (and hence no chance of a new best)
+    # must still report the sidecar-restored best results, as the
+    # uninterrupted run did — not None
+    t3 = Trainer(cfg(2), n_user, n_item)
+    _, best3 = t3.fit(train, valid, test, log=lambda *a: None)
+    assert best3 is not None  # restored from the sidecar, not recomputed
+    assert len(best3) == 4 and all(len(r) == 1 for r in best3)  # [P,R,N,M]@[5]
 
 
 def test_periodic_checkpoint_resume_without_best(tmp_path):
