@@ -614,13 +614,9 @@ def dnn_lightgcn(in_dims, out_dims, emb_size, n_user, n_item,
                     e_user, e_item, block_sparse_meta(op),
                     block_sparse_arrays(op), lgn_layers, interpret=interp)
         elif norm_adj is not None:
-            r_ui = jnp.asarray(norm_adj)
-            us, its = [e_user], [e_item]
-            for _ in range(lgn_layers):
-                us.append(r_ui @ its[-1])
-                its.append(r_ui.T @ us[-2])
-            e_user = sum(us) / (lgn_layers + 1)
-            e_item = sum(its) / (lgn_layers + 1)
+            from gdmcf_tpu.models.lightgcn import propagate
+            e_user, e_item = propagate(e_user, e_item,
+                                       jnp.asarray(norm_adj), lgn_layers)
         return {
             "emb_layer": linear_init(k1, emb_size, emb_size),
             "in_layers": mlp_init(k2, in_t),
@@ -634,7 +630,9 @@ def dnn_lightgcn(in_dims, out_dims, emb_size, n_user, n_item,
         (k_drop,) = _split(rng, 1)
         e_user = jax.lax.stop_gradient(p["frozen_lgn_user"])
         e_item = jax.lax.stop_gradient(p["frozen_lgn_item"])
-        link = jax.nn.sigmoid(e_user[index] @ e_item.T) > 0.5
+        # == sigmoid(raw) > 0.5 exactly (sigmoid strictly monotonic,
+        # sigmoid(0)=0.5) without the B x n_item transcendental pass
+        link = (e_user[index] @ e_item.T) > 0.0
         x = x * link.astype(x.dtype)
         emb = linear(p["emb_layer"], timestep_embedding(t, emb_size))
         if norm:

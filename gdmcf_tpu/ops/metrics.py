@@ -57,7 +57,11 @@ def _hits_and_counts(gt_rows, pred_idx, topn: Tuple[int, ...]):
     """Shared hit-matrix assembly for the one-shot and streamed entry
     points. Fails loudly when fewer items were ranked than the largest
     cutoff asks for — a silent clamp would deflate the metrics."""
-    gt = jnp.asarray(gt_rows)
+    # MEMBERSHIP, not magnitude: the reference tests `pred in GroundTruth[i]`
+    # (a set), so count-valued GT cells (duplicate interactions) must
+    # binarize here — raw counts would score precision/NDCG > 1 and point
+    # MRR's argmax at the LARGEST count instead of the FIRST hit
+    gt = (jnp.asarray(gt_rows) != 0)
     idx = jnp.asarray(pred_idx)
     if max(topn) > idx.shape[1]:
         raise ValueError(
@@ -101,6 +105,11 @@ def packed_batch_metric_sums(gt_packed: jnp.ndarray, idx: jnp.ndarray,
     """
     from gdmcf_tpu.ops.bitpack import unpack_rows
 
+    if max(topn) > idx.shape[-1]:  # trace-time shapes: loud, like add_packed
+        raise ValueError(
+            f"topn cutoff {max(topn)} exceeds the {idx.shape[-1]} ranked "
+            "predictions — rank at least max(topn) items per user")
+
     def one(gp, ix):
         gt = unpack_rows(gp, n_item)
         hits = jnp.take_along_axis(gt, ix, axis=1).astype(jnp.float32)
@@ -123,9 +132,9 @@ class MetricAccumulator:
 
     def add(self, gt_rows, pred_idx) -> None:
         g = np.asarray(gt_rows)
-        if g.ndim == 2 and g.size and bool(((g == 0) | (g == 1)).all()):
+        from gdmcf_tpu.ops.bitpack import is_binary, pack_rows
+        if g.ndim == 2 and g.size and is_binary(g):
             # binary GT (the normal case): ship bits, 32x less host->device
-            from gdmcf_tpu.ops.bitpack import pack_rows
             self.add_packed(pack_rows(g), pred_idx, g.shape[1])
             return
         hits, gt_count = _hits_and_counts(gt_rows, pred_idx, self.topn)
@@ -141,11 +150,15 @@ class MetricAccumulator:
                 f"topn cutoff {max(self.topn)} exceeds the "
                 f"{pred_idx.shape[-1]} ranked predictions — rank at least "
                 "max(topn) items per user")
-        sums = packed_batch_metric_sums(jnp.asarray(gt_packed),
-                                        jnp.asarray(pred_idx), n_item,
-                                        self.topn)
-        self.sums += np.asarray(sums, dtype=np.float64)
-        self.n_users += int(pred_idx.shape[0])
+        sums = np.asarray(packed_batch_metric_sums(
+            jnp.asarray(gt_packed), jnp.asarray(pred_idx), n_item,
+            self.topn), dtype=np.float64)
+        if sums.ndim == 3:  # fused group [G, 4, n]: reduce, count G*B users
+            self.sums += sums.sum(axis=0)
+            self.n_users += int(pred_idx.shape[0] * pred_idx.shape[1])
+        else:
+            self.sums += sums
+            self.n_users += int(pred_idx.shape[0])
 
     def result(self):
         out = self.sums / max(self.n_users, 1)

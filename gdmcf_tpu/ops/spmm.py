@@ -565,6 +565,12 @@ def spmm(a: BlockSparse, x: jnp.ndarray, transpose: bool = False,
         x_rows, out_rows, out_tile = bc, a.shape[0], br
         n_x = a.shape[1]
     d_in = x.shape[1]
+    if x.dtype != jnp.float32:
+        # the streaming kernel's VMEM scratch and the _X_VMEM_BUDGET
+        # heuristic are f32 (4 B/elem); a bf16 operand would mismatch the
+        # DMA scratch dtype at Mosaic lowering (or double-count the
+        # budget). One up-front cast keeps every caller correct.
+        x = x.astype(jnp.float32)
     if x.shape[0] > n_x:
         # cotangents from the opposite-direction product carry that
         # product's pad output rows — structurally zero, drop them

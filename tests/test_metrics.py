@@ -172,3 +172,57 @@ def test_lightgcn_metrics_perfect_ranking():
     r, p, nd, mp = lightgcn_topn_metrics(gt, pred, k)
     assert r == p == nd == 1.0
     np.testing.assert_allclose(mp, 1.0, rtol=1e-6)
+
+
+def test_count_valued_gt_scores_membership_not_magnitude():
+    """The reference tests `pred in GroundTruth[i]` — a SET. Count-valued
+    GT cells (duplicate interactions) must binarize: raw counts scored
+    precision/NDCG > 1 and pointed MRR's argmax at the LARGEST count
+    instead of the FIRST hit (both reproduced before the fix)."""
+    from gdmcf_tpu.ops.metrics import MetricAccumulator, compute_topn_accuracy
+
+    # user 0: item 1 has count 2, ranked first -> precision@1 must be 1.0
+    gt = np.array([[0.0, 2.0, 0.0, 0.0]], dtype=np.float32)
+    pred = np.array([[1, 0]], dtype=np.int32)
+    p, r, nd, mrr = compute_topn_accuracy(gt, pred, [1])
+    assert p[0] == 1.0 and nd[0] == 1.0 and r[0] == 1.0 and mrr[0] == 1.0
+
+    # first hit at rank 1 (count 1), larger count at rank 2: MRR == 1.0
+    gt = np.array([[1.0, 0.0, 3.0, 0.0]], dtype=np.float32)
+    pred = np.array([[0, 2]], dtype=np.int32)
+    _, _, _, mrr = compute_topn_accuracy(gt, pred, [2])
+    assert mrr[0] == 1.0
+
+    # the streamed accumulator's non-binary host path agrees
+    acc = MetricAccumulator([2])
+    acc.add(gt, pred)
+    assert acc.result()[3][0] == 1.0
+
+    # recall denominator is the number of DISTINCT items (2), not the sum
+    # of counts (4)
+    gt = np.array([[1.0, 0.0, 3.0, 0.0]], dtype=np.float32)
+    pred = np.array([[0, 1]], dtype=np.int32)
+    _, r, _, _ = compute_topn_accuracy(gt, pred, [2])
+    assert r[0] == 0.5
+
+
+def test_accumulator_fused_group_add_packed():
+    """add_packed with the documented [G, B, ...] fused-group shape must
+    reduce over the group axis and count G*B users (it raised a broadcast
+    error before and would have counted G users)."""
+    from gdmcf_tpu.ops.bitpack import pack_rows
+    from gdmcf_tpu.ops.metrics import MetricAccumulator, compute_topn_accuracy
+
+    rng = np.random.default_rng(0)
+    G, B, n_item, K = 3, 4, 16, 4
+    gt = (rng.random((G, B, n_item)) < 0.3).astype(np.float32)
+    pred = np.stack([np.stack([rng.permutation(n_item)[:K].astype(np.int32)
+                               for _ in range(B)]) for _ in range(G)])
+
+    acc = MetricAccumulator([2, 4])
+    acc.add_packed(np.stack([pack_rows(g) for g in gt]), pred, n_item)
+    assert acc.n_users == G * B
+    flat = compute_topn_accuracy(gt.reshape(G * B, n_item),
+                                 pred.reshape(G * B, K), [2, 4])
+    for ours, ref in zip(acc.result(), flat):
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
