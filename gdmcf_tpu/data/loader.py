@@ -32,9 +32,22 @@ def data_load(train_path: str, valid_path: str, test_path: str):
     valid_list = np.load(valid_path, allow_pickle=True)
     test_list = np.load(test_path, allow_pickle=True)
 
-    train_list = np.asarray(train_list, dtype=np.int64)
-    valid_list = np.asarray(valid_list, dtype=np.int64)
-    test_list = np.asarray(test_list, dtype=np.int64)
+    def as_edges(a, name):
+        a = np.asarray(a, dtype=np.int64)
+        if a.size == 0:
+            # np.save of an empty list round-trips as shape (0,): normalize
+            # so the [:, 0] indexing below gives an empty CSR, not IndexError
+            return a.reshape(0, 2)
+        if a.ndim != 2 or a.shape[1] != 2:
+            raise ValueError(f"{name} list must be [nnz, 2] (uid, iid) "
+                             f"pairs, got shape {a.shape}")
+        return a
+
+    train_list = as_edges(train_list, "train")
+    valid_list = as_edges(valid_list, "valid")
+    test_list = as_edges(test_list, "test")
+    if len(train_list) == 0:
+        raise ValueError("train list is empty — cannot infer n_user/n_item")
 
     n_user = int(train_list[:, 0].max()) + 1
     n_item = int(train_list[:, 1].max()) + 1
@@ -68,7 +81,9 @@ class DiffusionDataset:
         if n_rows is not None:
             csr = csr[:n_rows]  # slice BEFORE densifying (n_user_cap exists
             #                     precisely for memory-constrained runs)
-        mat = csr.toarray().astype(np.float32)
+        # astype BEFORE densifying: toarray() on the f64 CSR would
+        # materialize a double-width dense first (2x peak host memory)
+        mat = csr.astype(np.float32).toarray()
         self.rows = np.ascontiguousarray(mat)
         # duplicate (uid, iid) pairs sum to count cells > 1 (the reference's
         # CSR build does the same), and weighted matrices have fractional

@@ -20,13 +20,18 @@ _SRC = Path(__file__).parent / "_native" / "loader.cpp"
 _LIB = Path(__file__).parent / "_native" / "libgdmcf_loader.so"
 
 _lib: Optional[ctypes.CDLL] = None
+_lib_failed = False  # one failed compile is enough — never retry per call
 HAVE_NATIVE = False
 
 
 def _ensure_lib() -> Optional[ctypes.CDLL]:
-    global _lib, HAVE_NATIVE
+    global _lib, _lib_failed, HAVE_NATIVE
     if _lib is not None:
         return _lib
+    if _lib_failed:
+        # without this, every gather()/sample_bpr() in the training loop
+        # would re-pay a multi-second failed g++ attempt
+        return None
     try:
         if (not _LIB.exists()
                 or _LIB.stat().st_mtime < _SRC.stat().st_mtime):
@@ -59,6 +64,7 @@ def _ensure_lib() -> Optional[ctypes.CDLL]:
         HAVE_NATIVE = True
     except Exception:
         _lib = None
+        _lib_failed = True
         HAVE_NATIVE = False
     return _lib
 
@@ -103,9 +109,25 @@ class NativeCSR:
         return cls(indptr, indices[:nnz], n_user, n_item)
 
     @classmethod
-    def from_scipy(cls, csr) -> "NativeCSR":
+    def from_scipy(cls, csr, strict: bool = True) -> "NativeCSR":
+        """Structure-only view of a scipy sparse matrix.
+
+        NativeCSR keeps indptr/indices ONLY — every stored cell gathers as
+        1.0. ``strict`` (default) therefore rejects count-valued/weighted
+        matrices instead of silently binarizing the training data (the
+        dense ``host_dense=True`` path keeps the values); pass
+        ``strict=False`` where MEMBERSHIP is the intended semantics
+        (serving history masks, BPR positives). Explicit-zero cells are
+        never interactions and are dropped either way."""
         csr = csr.tocsr()
+        csr.eliminate_zeros()  # a stored 0.0 must not gather as 1.0
         csr.sort_indices()
+        if strict and csr.nnz and not ((csr.data == 1).all()):
+            raise ValueError(
+                "NativeCSR is structure-only and would binarize "
+                "count-valued/weighted cells; use host_dense=True to keep "
+                "values, or from_scipy(..., strict=False) if membership "
+                "semantics are intended")
         return cls(csr.indptr.astype(np.int64), csr.indices.astype(np.int32),
                    csr.shape[0], csr.shape[1])
 
@@ -149,6 +171,17 @@ class NativeCSR:
     def sample_bpr(self, users: np.ndarray,
                    seed: int) -> Tuple[np.ndarray, np.ndarray]:
         """(pos, neg) item ids for the given users."""
+        max_deg = getattr(self, "_max_deg", None)
+        if max_deg is None:
+            max_deg = self._max_deg = (
+                int(np.diff(self.indptr).max()) if self.n_user else 0)
+        if max_deg >= self.n_item:
+            # the rejection loop (here AND in the C++ kernel, which cannot
+            # be interrupted from Python) would spin forever for a user
+            # whose row covers the whole catalog — no negative exists
+            raise ValueError(
+                "BPR negative sampling impossible: some user interacted "
+                f"with all {self.n_item} items (no negatives exist)")
         users = np.ascontiguousarray(users, dtype=np.int32)
         pos = np.empty(len(users), dtype=np.int32)
         neg = np.empty(len(users), dtype=np.int32)

@@ -43,7 +43,7 @@ def normalized_bipartite_blocks(train_csr: sp.spmatrix,
 
     Degree epsilon matches the reference (ref lightGCN.py:159-161).
     """
-    r = np.asarray(train_csr.todense(), dtype=np.float32)
+    r = train_csr.astype(np.float32).toarray()
     deg_u = r.sum(axis=1)
     deg_i = r.sum(axis=0)
     du = np.power(deg_u + eps, -0.5)
@@ -201,6 +201,11 @@ def sample_bpr_batch(rng: np.random.Generator, train_csr: sp.spmatrix,
     the C++ engine via NativeCSR.sample_bpr (same semantics, ~1700x faster
     at 1M users — see pretrain())."""
     n_user, n_item = train_csr.shape
+    deg = np.diff(train_csr.indptr)
+    if deg.size and int(deg.max()) >= n_item:
+        raise ValueError(
+            "BPR negative sampling impossible: some user interacted with "
+            f"all {n_item} items (the rejection loop would never exit)")
     users = _choose_users(rng, n_user, batch_size)
     indptr, indices = train_csr.indptr, train_csr.indices
     pos = np.empty(batch_size, dtype=np.int64)
@@ -261,6 +266,11 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
     """
     from gdmcf_tpu.ops.metrics import lightgcn_topn_metrics
 
+    if sparse not in (None, True, False, "hybrid"):
+        # any other truthy string would silently fall through to the
+        # block-CSR path — a typo'd format name must fail, not misroute
+        raise ValueError(f"sparse={sparse!r}: expected None, True, False, "
+                         "or 'hybrid'")
     n_user, n_item = train_csr.shape
     key = jax.random.PRNGKey(seed)
     e0 = xavier_uniform(key, (n_user + n_item, latent_dim))
@@ -318,7 +328,10 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
     # 65k-triple batch at the 1M-user geometry — more than half the whole
     # BPR step
     from gdmcf_tpu.data.native import NativeCSR
-    ncsr = NativeCSR.from_scipy(train_csr)
+    # strict=False: BPR consumes interaction MEMBERSHIP (pos/neg item
+    # sets), so count-valued cells binarizing here is the intended
+    # semantics, as in the reference's interaction-list sampling
+    ncsr = NativeCSR.from_scipy(train_csr, strict=False)
 
     def sample(batch_size):
         users = _choose_users(rng, n_user, batch_size)
@@ -342,27 +355,38 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
         return prop(e0, prop_args)
 
     if evaluate:
-        train_mask = np.asarray(train_csr.todense(), dtype=np.float32)
-        test_gt = np.asarray(test_csr.todense(), dtype=np.float32)
+        train_mask = train_csr.astype(np.float32).toarray()
+        test_gt = test_csr.astype(np.float32).toarray()
 
     best_ndcg = -1.0
     best = None
     for epoch in range(epochs):
-        total = 0.0
+        losses = []
         for _ in range(steps_per_epoch):
             users, pos, neg = sample(batch_size)
             e0, opt_state, loss = train_step(e0, opt_state, prop_args,
                                              jnp.asarray(users),
                                              jnp.asarray(pos),
                                              jnp.asarray(neg))
-            total += float(loss)
+            # keep the DEVICE scalar: float(loss) here would block every
+            # step on the dispatch round-trip (~25 ms on the relay — at the
+            # interactions-based budget that is tens of seconds/epoch of
+            # pure RTT) and stop host-side BPR sampling from overlapping
+            # the device step
+            losses.append(loss)
+        total = float(jnp.stack(losses).sum())
         if not evaluate:
             log(f"epoch {epoch}: loss {total / steps_per_epoch:.4f}")
             continue
         fu, fi = full_embeddings(e0, prop_args)
         scores = np.array(fu @ fi.T)  # writable host copy
         scores[train_mask > 0] = -np.inf
-        pred = np.argsort(-scores, axis=1)[:, :k]
+        # argpartition + small sort: a full per-row argsort of the
+        # [n_user, n_item] matrix costs O(n log n) per row per epoch for
+        # the same top-k set
+        part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        order = np.argsort(np.take_along_axis(-scores, part, axis=1), axis=1)
+        pred = np.take_along_axis(part, order, axis=1)
         # the reference pretrainer's eval protocol (ref lightGCN.py:67-127):
         # natural-log NDCG, MAP@K, means over test users only
         recall, precision, ndcg, map_k = lightgcn_topn_metrics(

@@ -58,6 +58,12 @@ def global_mesh(dp: Optional[int] = None, mp: Optional[int] = None) -> Mesh:
         mp = max(jax.local_device_count(), 1)
     if dp is None:
         dp = len(devices) // mp
+    if dp * mp != len(devices):
+        raise ValueError(
+            f"mesh (dp={dp}, mp={mp}) does not tile the {len(devices)} "
+            f"global devices ({jax.process_count()} processes x "
+            f"{jax.local_device_count()} local) — pick dp*mp == device "
+            "count")
     grid = np.asarray(devices).reshape(dp, mp)
     return Mesh(grid, axis_names=("dp", "mp"))
 

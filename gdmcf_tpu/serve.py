@@ -56,7 +56,9 @@ class Recommender:
                         k_max: int = 100) -> "Recommender":
         from gdmcf_tpu.train.checkpoint import Checkpointer
 
-        history = NativeCSR.from_scipy(train_csr)
+        # strict=False: the serving history is a MEMBERSHIP mask (which
+        # items to exclude), so binarizing count cells is the semantics
+        history = NativeCSR.from_scipy(train_csr, strict=False)
         trainer = Trainer(cfg, history.n_user, history.n_item,
                           train_csr=train_csr)
         template = trainer.init_state()
@@ -66,7 +68,8 @@ class Recommender:
     @classmethod
     def from_state(cls, trainer: Trainer, state, train_csr,
                    serve_batch: int = 256, k_max: int = 100) -> "Recommender":
-        return cls(trainer, state.params, NativeCSR.from_scipy(train_csr),
+        return cls(trainer, state.params,
+                   NativeCSR.from_scipy(train_csr, strict=False),
                    serve_batch, k_max)
 
     # ------------------------------------------------------------------

@@ -131,3 +131,18 @@ def test_ml100k_ingest_matches_reference_semantics(tmp_path):
                 le_i.transform(te["item_id"].values))))
     # binary everywhere
     assert set(np.unique(train_csr.data)) == {1.0}
+
+
+def test_data_load_empty_split_gives_empty_csr(tmp_path):
+    """np.save of an empty list round-trips as shape (0,): data_load must
+    produce an empty CSR for that split, not IndexError."""
+    np.save(tmp_path / "train_list.npy",
+            np.array([[0, 0], [1, 2]], dtype=np.int64))
+    np.save(tmp_path / "valid_list.npy", np.array([], dtype=np.int64))
+    np.save(tmp_path / "test_list.npy",
+            np.array([[1, 1]], dtype=np.int64))
+    from gdmcf_tpu.data.loader import data_load_dir
+    tr, va, te, n_user, n_item = data_load_dir(str(tmp_path) + "/")
+    assert (n_user, n_item) == (2, 3)
+    assert va.nnz == 0 and va.shape == (2, 3)
+    assert tr.nnz == 2 and te.nnz == 1

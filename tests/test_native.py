@@ -116,3 +116,42 @@ def test_numpy_fallback_matches_native(rng, monkeypatch):
     for u, p, n in zip(users, pos_f, neg_f):
         if dense[u].sum() > 0:
             assert dense[u, p] == 1.0 and dense[u, n] == 0.0
+
+
+def test_sample_bpr_full_row_user_raises():
+    """A user whose row covers the whole catalog has no negatives — the
+    rejection loop (C++ AND numpy fallback) would spin forever; both entry
+    points must refuse loudly instead."""
+    import pytest
+    import scipy.sparse as sp
+    from gdmcf_tpu.data.native import NativeCSR
+    from gdmcf_tpu.models.lightgcn import sample_bpr_batch
+
+    full = sp.csr_matrix(np.ones((3, 4), dtype=np.float32))
+    with pytest.raises(ValueError, match="all 4 items"):
+        NativeCSR.from_scipy(full).sample_bpr(np.arange(3), seed=0)
+    with pytest.raises(ValueError, match="all 4 items"):
+        sample_bpr_batch(np.random.default_rng(0), full, 2)
+
+
+def test_from_scipy_strict_rejects_counts_and_drops_explicit_zeros():
+    """NativeCSR is structure-only: count cells must be rejected under the
+    default strict mode (the dense path keeps values), membership callers
+    opt in via strict=False, and a stored explicit 0.0 must never gather
+    as 1.0."""
+    import pytest
+    import scipy.sparse as sp
+    from gdmcf_tpu.data.native import NativeCSR
+
+    counts = sp.csr_matrix(np.array([[0, 2, 0], [1, 0, 1]], np.float32))
+    with pytest.raises(ValueError, match="structure-only"):
+        NativeCSR.from_scipy(counts)
+    ncsr = NativeCSR.from_scipy(counts, strict=False)
+    np.testing.assert_array_equal(ncsr.gather(np.array([0, 1])),
+                                  [[0, 1, 0], [1, 0, 1]])
+
+    ez = sp.csr_matrix((np.array([0.0, 1.0], np.float32),
+                        (np.array([0, 0]), np.array([1, 2]))), shape=(1, 3))
+    assert ez.nnz == 2  # the explicit zero IS stored
+    np.testing.assert_array_equal(
+        NativeCSR.from_scipy(ez).gather(np.array([0])), [[0, 0, 1]])
