@@ -104,20 +104,17 @@ def params_from_state_dict(sd: Mapping[str, Any], template: Any) -> Any:
         _assign(params, path, value.T if transpose else value)
         filled.add(path)
 
-    missing = []
+    # enumerate every leaf path via jax's own registry (covers any pytree
+    # node type a template may use — a hand-rolled dict/list walk would
+    # report e.g. a NamedTuple node as one opaque unfilled path)
+    def plain(key_path):
+        return tuple(
+            getattr(k, "key", getattr(k, "idx", getattr(k, "name", k)))
+            for k in key_path)
 
-    def visit(node, path):
-        if isinstance(node, dict):
-            for k, v in node.items():
-                visit(v, path + (k,))
-        elif isinstance(node, (list, tuple)):
-            for i, v in enumerate(node):
-                visit(v, path + (i,))
-        else:
-            if path not in filled:
-                missing.append(".".join(map(str, path)))
-
-    visit(params, ())
+    leaves, _ = jax.tree_util.tree_flatten_with_path(params)
+    missing = [".".join(map(str, plain(kp)))
+               for kp, _leaf in leaves if plain(kp) not in filled]
     if missing:
         raise ValueError(f"state_dict left model parameters unfilled: "
                          f"{missing}")

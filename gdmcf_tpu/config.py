@@ -30,6 +30,26 @@ from typing import List, Optional
 import yaml
 
 
+def _as_int_list(name: str, value) -> List[int]:
+    """Normalize a list flag: accepts YAML lists ("[10, 20]"), bare comma
+    lists ("10,20"), and scalars ("1000" / 1000 — the reference CLI's
+    --dims takes bare ints, parse_args_util.py:30). The old
+    ``list(yaml.safe_load(s))`` crashed on scalars with an opaque
+    TypeError and exploded "10,20" into single CHARACTERS."""
+    if isinstance(value, str):
+        value = yaml.safe_load(value)
+        if isinstance(value, str):  # "10,20" parses as a plain string
+            value = [v for v in value.split(",") if v.strip() != ""]
+    if isinstance(value, (int, float)):
+        value = [value]
+    try:
+        return [int(v) for v in value]
+    except (TypeError, ValueError) as e:
+        raise ValueError(
+            f"{name} must be an int list (e.g. [10, 20] or 10,20 or a "
+            f"single int), got {value!r}") from e
+
+
 @dataclass
 class Config:
     # ---- data (reference parse_args_util.py:7-8) ----
@@ -191,10 +211,8 @@ class Config:
     ckpt_every: int = 0
 
     def __post_init__(self):
-        if isinstance(self.topN, str):
-            self.topN = list(yaml.safe_load(self.topN))
-        if isinstance(self.dims, str):
-            self.dims = list(yaml.safe_load(self.dims))
+        self.topN = _as_int_list("topN", self.topN)
+        self.dims = _as_int_list("dims", self.dims)
         if self.mean_type not in ("x0", "eps"):
             raise ValueError(f"Unimplemented mean type {self.mean_type}")
         if self.time_type != "cat":

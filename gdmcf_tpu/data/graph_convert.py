@@ -82,6 +82,9 @@ def one_hot_to_adjacency(a: int, b: int, y: np.ndarray) -> np.ndarray:
 def top_k_indices(x: np.ndarray, k: int) -> np.ndarray:
     """Indices of the k largest entries of the flattened tensor."""
     flat = np.asarray(x).ravel()
+    if k <= 0:
+        # idx[-0:] is the WHOLE array — k=0 must select nothing, not all
+        return np.empty(0, dtype=np.int64)
     idx = np.argpartition(flat, -k)[-k:]
     return idx[np.argsort(-flat[idx])]
 
@@ -97,6 +100,8 @@ def topk_set(x: np.ndarray, k: int = 25000) -> np.ndarray:
     """Per-row top-k cells -> 1, rest 0 (ref data_utils.py:34-45)."""
     x = np.asarray(x)
     out = np.zeros_like(x, dtype=np.float32)
+    if k <= 0:  # [:, -0:] is the whole row — same falsy-zero trap as above
+        return out
     idx = np.argpartition(x, -k, axis=1)[:, -k:]
     np.put_along_axis(out, idx, 1.0, axis=1)
     return out

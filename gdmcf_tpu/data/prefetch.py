@@ -55,9 +55,13 @@ def prefetched(it: Iterable[T], depth: int = 2) -> Iterator[T]:
             return
         _put((_SENTINEL, None))
 
-    threading.Thread(target=worker, daemon=True).start()
-
     def gen():
+        # start the producer at FIRST iteration, not at call time: a
+        # never-started generator has no frame, so its finally never runs —
+        # an eagerly-started thread would leak forever (blocked in _put,
+        # holding up to ``depth`` dense batches) if the caller drops the
+        # generator before iterating
+        threading.Thread(target=worker, daemon=True).start()
         try:
             while True:
                 item = q.get()

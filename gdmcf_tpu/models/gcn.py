@@ -132,7 +132,17 @@ def mean_aggregation(
 
 
 def mini_lightgcn_apply(h_users, h_items, g):
-    """Two aggregation hops with relu between (ref LightGCN module :1061-1075)."""
+    """Two aggregation hops with relu between (ref LightGCN module :1061-1075).
+
+    DEGENERATE BY CONSTRUCTION, faithfully: with the directed
+    user->item aggregation, hop 1 zeroes the user features, and hop 2
+    consumes those zeros while DISCARDING the relu'd item features — the
+    result is (0, 0) for every input. That is exactly what the reference's
+    module computes (its MessagePassing flow sends user->item only, and
+    the second hop re-aggregates from the zeroed side); the class is also
+    unreachable from the reference's main. Kept as documented parity
+    evidence — do not wire it into a live model expecting graph signal.
+    """
     u, i = mean_aggregation(h_users, h_items, g)
     u, i = jax.nn.relu(u), jax.nn.relu(i)
     return mean_aggregation(u, i, g)

@@ -48,10 +48,12 @@ class Checkpointer:
         opposite staleness (checkpoint landed, meta one best behind) is
         harmless: resume just re-saves on the next best."""
         step = int(state.step) if step is None else int(step)
-        if not block:
-            # commit any previous async save (and its deferred sidecar)
-            # before starting a new one
-            self.wait()
+        # commit any previous async save AND flush its deferred sidecar
+        # before starting a new one — unconditionally: overwriting
+        # _pending_extra below on a block=True save would otherwise DROP
+        # the previous async save's sidecar (best_metric resets to -100 on
+        # resume, the exact failure this machinery exists to prevent)
+        self.wait()
         self.manager.save(step, args=ocp.args.StandardSave(state))
         self._pending_extra = extra
         if block:
@@ -90,4 +92,5 @@ class Checkpointer:
         return TrainState(*restored)
 
     def close(self):
+        self.wait()  # a deferred sidecar must not die with the manager
         self.manager.close()

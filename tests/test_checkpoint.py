@@ -148,3 +148,26 @@ def test_periodic_checkpoint_resume_without_best(tmp_path):
     s2, _ = t2.fit(*mats, log=logs.append)
     assert any("resumed from checkpoint" in l for l in logs)
     assert int(s2.step) == 4 * (n_user // 8)
+
+
+def test_blocking_save_flushes_prior_async_sidecar(tmp_path):
+    """A block=True save (or close()) after an async save(extra=...) must
+    flush the deferred sidecar, not overwrite it — dropping it resets
+    best_metric to -100 on resume, the exact failure the sidecar
+    machinery exists to prevent."""
+    from gdmcf_tpu.config import Config
+    from gdmcf_tpu.train.checkpoint import Checkpointer
+    from gdmcf_tpu.train.trainer import Trainer
+
+    t = Trainer(Config(backbone="DNN", dims=[8], emb_size=10, steps=3,
+                       batch_size=4, sampling_steps=0), 8, 6)
+    s = t.init_state()
+    ck = Checkpointer(str(tmp_path / "a"))
+    ck.save(s, step=1, extra={"best_metric": 0.5}, block=False)
+    ck.save(s, step=2, block=True)  # no extra of its own
+    assert ck.load_extra() == {"best_metric": 0.5}
+
+    ck2 = Checkpointer(str(tmp_path / "b"))
+    ck2.save(s, step=1, extra={"best_metric": 0.7}, block=False)
+    ck2.close()  # close() must flush too
+    assert ck2.load_extra() == {"best_metric": 0.7}

@@ -83,3 +83,18 @@ def test_package_lazy_api_exports():
     import pytest
     with pytest.raises(AttributeError):
         gdmcf_tpu.not_a_thing
+
+
+def test_list_flags_accept_scalars_and_comma_lists():
+    """Reference CLI style: --dims takes bare ints (ref parse_args_util
+    action='append'); '10,20' is a natural shell form. The old parser
+    crashed on scalars and exploded comma lists into characters."""
+    from gdmcf_tpu.config import parse_args
+
+    cfg = parse_args(["--dims", "1000", "--topN", "10,20"])
+    assert cfg.dims == [1000]
+    assert cfg.topN == [10, 20]
+
+    import pytest
+    with pytest.raises(ValueError, match="dims"):
+        parse_args(["--dims", "not_a_number"])

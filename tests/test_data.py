@@ -146,3 +146,14 @@ def test_data_load_empty_split_gives_empty_csr(tmp_path):
     assert (n_user, n_item) == (2, 3)
     assert va.nnz == 0 and va.shape == (2, 3)
     assert tr.nnz == 2 and te.nnz == 1
+
+
+def test_top_k_zero_selects_nothing():
+    """k=0 used to select EVERYTHING (idx[-0:] is the whole array)."""
+    from gdmcf_tpu.data.graph_convert import (set_top_k_to_one,
+                                              top_k_indices, topk_set)
+
+    x = np.arange(12, dtype=np.float32).reshape(3, 4)
+    assert top_k_indices(x, 0).size == 0
+    assert set_top_k_to_one(x, 0).sum() == 0
+    assert topk_set(x, 0).sum() == 0
