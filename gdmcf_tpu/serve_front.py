@@ -73,6 +73,7 @@ class Backend:
     Ops (request tuple -> response tuple):
       ("info",)                      -> ("ok", {n_user, n_item, k_max, ...})
       ("recommend", users, k, excl)  -> ("ok", items ndarray [n, k])
+      ("reload", ckpt_dir_or_None)   -> ("ok", {reloaded, step, ...})
       any error                      -> ("err", "TypeName: message")
     """
 
@@ -97,7 +98,8 @@ class Backend:
                 "n_item": self.rec.history.n_item,
                 "serve_batch": self.rec.serve_batch,
                 "k_max": self.rec.k_max,
-                "stats": dict(self.coalescer.stats)}
+                "stats": {**self.coalescer.stats,
+                          "params_version": self.rec.params_version}}
 
     def _accept_loop(self):
         while not self._shutdown:
@@ -139,6 +141,10 @@ class Backend:
                         items = self.coalescer.submit(users, int(k),
                                                       bool(exclude))
                         reply = ("ok", items)
+                    elif msg[0] == "reload":
+                        # hot-swap the chip-owning process's params; any
+                        # front can forward the operator's POST /reload here
+                        reply = ("ok", self.rec.reload_params(msg[1]))
                     else:
                         reply = ("err", f"unknown op {msg[0]!r}")
                 except Exception as e:  # surfaced as a 500 by the front
@@ -215,13 +221,15 @@ class ReusePortHTTPServer(ThreadingHTTPServer):
         socketserver.TCPServer.server_bind(self)
 
 
-def make_handler(limits: dict, submit, stats):
+def make_handler(limits: dict, submit, stats, reload=None):
     """HTTP handler factory shared by the single-process server and the
     pre-forked fronts.
 
     ``limits``: {"n_user", "n_item", "serve_batch", "k_max"} for validation
     and /healthz. ``submit(users, k, exclude) -> ndarray [n, k]``;
-    ``stats() -> dict`` merged into /healthz.
+    ``stats() -> dict`` merged into /healthz. ``reload(ckpt_dir|None) ->
+    dict`` hot-swaps the serving params from a checkpoint (POST /reload,
+    optional JSON body {"ckpt_dir": ...}); omitted -> 501.
     """
 
     class Handler(BaseHTTPRequestHandler):
@@ -286,6 +294,25 @@ def make_handler(limits: dict, submit, stats):
 
         def do_POST(self):
             url = urlparse(self.path)
+            if url.path == "/reload":
+                if reload is None:
+                    self._reply(501, {"error": "reload not supported here"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    ckpt_dir = req.get("ckpt_dir") if isinstance(req, dict) \
+                        else None
+                except (ValueError, json.JSONDecodeError):
+                    self._reply(400, {"error": "body must be JSON"})
+                    return
+                try:
+                    self._reply(200, reload(ckpt_dir))
+                except Exception as e:
+                    # live params are untouched on any failure; 409 = the
+                    # swap was refused, traffic keeps serving the old tree
+                    self._reply(409, {"error": f"{type(e).__name__}: {e}"})
+                return
             if url.path != "/recommend":
                 self._reply(404, {"error": "unknown path"})
                 return
@@ -333,6 +360,9 @@ def front_serve(sock_path: str, host: str, port: int,
     def stats():
         return pool.call(("info",))["stats"]
 
+    def reload(ckpt_dir):
+        return pool.call(("reload", ckpt_dir))
+
     def watchdog():
         misses = 0
         # a dedicated pool: liveness probes must not contend with (or be
@@ -353,7 +383,7 @@ def front_serve(sock_path: str, host: str, port: int,
 
     threading.Thread(target=watchdog, daemon=True,
                      name="gdmcf-front-watchdog").start()
-    handler = make_handler(info, submit, stats)
+    handler = make_handler(info, submit, stats, reload=reload)
     srv = ReusePortHTTPServer((host, port), handler)
     srv.serve_forever()
 

@@ -14,6 +14,9 @@ Endpoints:
   GET  /healthz                          -> {"ok": true, "n_user": N, ...}
   GET  /recommend?users=1,2,3&k=20       -> {"users": [...], "items": [[...]]}
   POST /recommend  {"users": [...], "k": 20, "exclude_history": true}
+  POST /reload     {"ckpt_dir": "..."?}  -> hot-swap params from a (same-
+       shape) checkpoint with zero recompiles and zero dropped requests;
+       SIGHUP to the daemon does the same from the configured ckpt dir
 
 Run:  python -m gdmcf_tpu.serve_http -c configs/yelpOneEmbGcn.yaml \
           --ckpt_dir_serve /ckpts/run1 --port 8080
@@ -124,8 +127,11 @@ def make_server(recommender, host: str = "127.0.0.1", port: int = 8080
               "n_item": recommender.history.n_item,
               "serve_batch": recommender.serve_batch,
               "k_max": recommender.k_max}
-    handler = make_handler(limits, coalescer.submit,
-                           lambda: dict(coalescer.stats))
+    handler = make_handler(
+        limits, coalescer.submit,
+        lambda: {**coalescer.stats,
+                 "params_version": recommender.params_version},
+        reload=recommender.reload_params)
     srv = ThreadingHTTPServer((host, port), handler)
     srv.coalescer = coalescer  # type: ignore[attr-defined]  (introspection)
     return srv
@@ -217,8 +223,26 @@ def main(argv=None):
     rec = build_recommender(cfg, ns.ckpt_dir_serve or cfg.ckpt_dir, train,
                             n_user, n_item, serve_batch=ns.serve_batch,
                             k_max=ns.k_max)
+
+    # operator hot-reload without knowing the HTTP port: SIGHUP re-restores
+    # from the configured checkpoint dir (off the signal frame — restore
+    # does real IO; the swap itself is atomic, traffic never pauses)
+    import signal
+    import threading as _threading
+
+    def _on_sighup(signum, frame):
+        def _do():
+            try:
+                info = rec.reload_params()
+                print(f"SIGHUP reload: {info}", flush=True)
+            except Exception as e:
+                print(f"SIGHUP reload FAILED (old params stay live): "
+                      f"{type(e).__name__}: {e}", flush=True)
+        _threading.Thread(target=_do, daemon=True).start()
+
+    signal.signal(signal.SIGHUP, _on_sighup)
+
     if ns.procs > 1:
-        import signal
 
         # default SIGTERM kills the process WITHOUT unwinding, orphaning N
         # fronts that keep the port and 500 every request (until their

@@ -467,3 +467,154 @@ def test_coalescer_error_propagates_and_recovers(server):
     # the dispatcher thread is still alive and serving
     code, body = _get(base + "/recommend?users=2&k=3")
     assert code == 200 and len(body["items"][0]) == 3
+
+
+def test_hot_reload_swaps_params_without_downtime(server, tmp_path):
+    """POST /reload swaps params from a same-shape checkpoint with zero
+    recompiles, zero failed requests, and an atomic cutover (round-4 verdict
+    item 6): scores change, /healthz's params_version bumps, and traffic
+    issued during the swap all 200s."""
+    import jax
+
+    from gdmcf_tpu.train.checkpoint import Checkpointer
+
+    rec, base = server
+    orig_params = rec.params
+    # a DIFFERENT same-shape state: perturb every float leaf, bump the step
+    state = rec.trainer.init_state()
+    perturbed = jax.tree_util.tree_map(
+        lambda a: a + 0.01 if np.issubdtype(np.asarray(a).dtype, np.floating)
+        else a, state.params)
+    state = state._replace(params=perturbed, step=state.step + 123)
+    ckpt_dir = str(tmp_path / "hot")
+    ck = Checkpointer(ckpt_dir)
+    ck.save(state)
+    ck.close()
+
+    before = _get(base + "/healthz")[1]["stats"]["params_version"]
+    codes = []
+
+    def traffic():
+        for u in range(5):
+            codes.append(_get(base + f"/recommend?users={u}&k=3")[0])
+
+    t = threading.Thread(target=traffic)
+    t.start()
+    req = urllib.request.Request(
+        base + "/reload", data=json.dumps({"ckpt_dir": ckpt_dir}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        body = json.loads(r.read())
+    t.join()
+    try:
+        assert body["reloaded"] and body["step"] == 123
+        assert codes == [200] * 5  # zero 5xx during the swap
+        after = _get(base + "/healthz")[1]["stats"]["params_version"]
+        assert after == before + 1
+        # the live tree IS the checkpointed one, bit-exactly
+        for live, saved in zip(jax.tree_util.tree_leaves(rec.params),
+                               jax.tree_util.tree_leaves(perturbed)):
+            np.testing.assert_array_equal(np.asarray(live),
+                                          np.asarray(saved))
+        # and rankings actually come from the new params
+        new_items, _ = rec.recommend([0, 1, 2], k=5)
+        rec.params = orig_params
+        old_items, _ = rec.recommend([0, 1, 2], k=5)
+        assert not np.array_equal(new_items, old_items)
+    finally:
+        rec.params = orig_params
+        rec.ckpt_dir = None  # restore demo mode for later tests
+
+
+def test_hot_reload_failure_leaves_old_params_live(server, tmp_path):
+    """A refused reload (no ckpt configured / dir missing) 409s and the old
+    params keep serving — the swap is all-or-nothing."""
+    import urllib.error
+
+    rec, base = server
+    orig_params = rec.params
+    for payload in (b"{}",  # demo-mode rec has no ckpt_dir configured
+                    json.dumps({"ckpt_dir": str(tmp_path / "nope")}).encode()):
+        req = urllib.request.Request(
+            base + "/reload", data=payload,
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=120)
+        assert e.value.code == 409
+    assert rec.params is orig_params
+    assert _get(base + "/recommend?users=0&k=3")[0] == 200
+
+
+def test_hot_reload_rejects_mismatched_shapes(server, tmp_path):
+    """A checkpoint from a different geometry/config must be refused (the
+    compiled program is only valid for the trained shapes)."""
+    from gdmcf_tpu.train.checkpoint import Checkpointer
+
+    rec, _ = server
+    other_cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[8],
+                       emb_size=10, steps=5, batch_size=8, sampling_steps=0)
+    other = Trainer(other_cfg, 40, 32)
+    ckpt_dir = str(tmp_path / "mismatch")
+    ck = Checkpointer(ckpt_dir)
+    ck.save(other.init_state())
+    ck.close()
+    orig = rec.params
+    with pytest.raises(Exception):
+        rec.reload_params(ckpt_dir)
+    assert rec.params is orig
+
+
+def test_multiproc_front_forwards_reload(server, tmp_path):
+    """POST /reload on any pre-forked front rides the unix-socket RPC to the
+    chip-owning backend and swaps its params."""
+    import socket
+    import time
+
+    from gdmcf_tpu.serve_http import serve_multiproc
+    from gdmcf_tpu.train.checkpoint import Checkpointer
+
+    rec, _ = server
+    orig_params = rec.params
+    state = rec.trainer.init_state()
+    state = state._replace(step=state.step + 7)
+    ckpt_dir = str(tmp_path / "mp_reload")
+    ck = Checkpointer(ckpt_dir)
+    ck.save(state)
+    ck.close()
+
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+    backend, fronts = serve_multiproc(rec, "127.0.0.1", port, 1)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                _get(base + "/healthz")
+                break
+            except OSError:
+                time.sleep(0.2)
+        before = _get(base + "/healthz")[1]["stats"]["params_version"]
+        req = urllib.request.Request(
+            base + "/reload",
+            data=json.dumps({"ckpt_dir": ckpt_dir}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            body = json.loads(r.read())
+        assert body["reloaded"] and body["step"] == 7
+        after = _get(base + "/healthz")[1]["stats"]["params_version"]
+        assert after == before + 1
+        assert _get(base + "/recommend?users=0&k=3")[0] == 200
+    finally:
+        backend.close()
+        for p in fronts:
+            p.terminate()
+        for p in fronts:
+            try:
+                p.wait(timeout=10)
+            except Exception:
+                pass
+        rec.params = orig_params
+        rec.ckpt_dir = None
