@@ -25,11 +25,15 @@ from jax.sharding import Mesh
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None,
-               timeout_s: int = 300) -> None:
+               timeout_s: int = 300,
+               heartbeat_timeout_s: Optional[int] = None) -> None:
     """jax.distributed.initialize with env fallbacks; no-op if single-process.
 
     Env contract (matching common launchers): COORDINATOR_ADDRESS,
-    NUM_PROCESSES, PROCESS_ID.
+    NUM_PROCESSES, PROCESS_ID. ``heartbeat_timeout_s`` (env
+    HEARTBEAT_TIMEOUT_S, default jax's 100) bounds how long the surviving
+    processes take to fail LOUDLY after a peer dies mid-step — the failure
+    detector for SURVEY §5 (fault-injection test: test_multihost_fault.py).
     """
     coordinator_address = coordinator_address or os.environ.get(
         "COORDINATOR_ADDRESS")
@@ -38,11 +42,17 @@ def initialize(coordinator_address: Optional[str] = None,
     num_processes = num_processes or int(os.environ.get("NUM_PROCESSES", "1"))
     process_id = process_id if process_id is not None else int(
         os.environ.get("PROCESS_ID", "0"))
+    if heartbeat_timeout_s is None and os.environ.get("HEARTBEAT_TIMEOUT_S"):
+        heartbeat_timeout_s = int(os.environ["HEARTBEAT_TIMEOUT_S"])
+    kw = {}
+    if heartbeat_timeout_s is not None:
+        kw["heartbeat_timeout_seconds"] = heartbeat_timeout_s
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
         initialization_timeout=timeout_s,
+        **kw,
     )
 
 

@@ -113,10 +113,33 @@ class Trainer:
     def init_state(self) -> TrainState:
         state = create_train_state(self.cfg, self.model.init, tx=self.tx)
         if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
             from gdmcf_tpu.parallel.sharding import shard_params
             params = shard_params(state.params, self.mesh)
             opt_state = self.tx.init(params)  # zeros_like inherits shardings
             state = state._replace(params=params, opt_state=opt_state)
+            # Commit EVERY remaining leaf (step counter, RNG key, Lt ring,
+            # opt count scalars) as mesh-replicated. Freshly-created leaves
+            # are uncommitted and jit would place them fine — but an Orbax
+            # RESTORE pins each leaf to its template sharding, and a
+            # single-device scalar next to mesh-sharded params is an
+            # incompatible-devices error on the first post-resume step
+            # (multi-host fault/resume, tests/test_multihost_fault.py).
+            rep = NamedSharding(self.mesh, P())
+            multiproc = jax.process_count() > 1
+
+            def commit(leaf):
+                sh = getattr(leaf, "sharding", None)
+                if isinstance(sh, NamedSharding) and sh.mesh == self.mesh:
+                    return leaf
+                if multiproc:
+                    host = np.asarray(leaf)
+                    return jax.make_array_from_process_local_data(
+                        rep, host, host.shape)
+                return jax.device_put(leaf, rep)
+
+            state = jax.tree_util.tree_map(commit, state)
         return state
 
     def _put_batch(self, x: jnp.ndarray, idx: jnp.ndarray,
