@@ -36,7 +36,7 @@ N_USER, N_ITEM = 5949, 2810
 
 def measure(batch=1024, iters=200, warmup=5, seed=0, rng_impl="rbg",
             steps_per_call=100, param_dtype="float32",
-            moment_dtype="bfloat16", dims=(1000,)):
+            moment_dtype="bfloat16", dims=(1000,), bf16_weights=()):
     """Steady-state training throughput. Methodology for relayed/dev
     backends where async timing lies (block_until_ready is a no-op and
     repeated identical calls can be elided):
@@ -52,7 +52,8 @@ def measure(batch=1024, iters=200, warmup=5, seed=0, rng_impl="rbg",
                  steps=5, noise_scale=0.01, noise_min=0.001, noise_max=0.01,
                  batch_size=batch, lr=1e-5, rng_impl=rng_impl,
                  sampling_steps=0, train_steps_per_call=steps_per_call,
-                 param_dtype=param_dtype, opt_moment_dtype=moment_dtype)
+                 param_dtype=param_dtype, opt_moment_dtype=moment_dtype,
+                 bf16_weights=tuple(bf16_weights))
     trainer = Trainer(cfg, n_user=N_USER, n_item=N_ITEM)
     state = trainer.init_state()
     rng = np.random.default_rng(seed)
@@ -210,6 +211,9 @@ def main():
     # bandwidth wall of the fused step (benchmarks/profile_train3.py)
     ap.add_argument("--moment-dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
+    # selective bf16 storage for the named weights (substring match on the
+    # param path, e.g. in_layers/ embedding_item) — VERDICT r4 weak 1 A/B
+    ap.add_argument("--bf16-weights", nargs="*", default=[])
     args = ap.parse_args()
 
     if args.metric == "mfu":
@@ -239,7 +243,8 @@ def main():
     eps = measure(batch=args.batch, iters=args.iters, rng_impl=args.rng,
                   steps_per_call=args.steps_per_call,
                   param_dtype=args.param_dtype,
-                  moment_dtype=args.moment_dtype)
+                  moment_dtype=args.moment_dtype,
+                  bf16_weights=args.bf16_weights)
     print(json.dumps({
         "metric": "train_examples_per_s",
         "value": round(eps, 2),

@@ -68,10 +68,18 @@ class FusedAdamWState(NamedTuple):
     ``mu``/``nu`` mirror the param tree; frozen (non-trainable) leaves hold
     empty ``shape=(0,)`` placeholders so the pytree structure stays stable
     for checkpointing without spending memory on dead moments.
+
+    ``master``: flat ``{path: f32 array}`` dict of master weights for
+    bfloat16-STORED param leaves (Config.bf16_weights selective operand
+    storage) — empty when all params are f32. The update math runs on the
+    master; the param write is its bf16 cast, so lr~1e-5 updates on ~1e-2
+    weights are never lost to bf16 rounding while forward/backward reads
+    of the selected weights ride half-width HBM streams.
     """
     count: jnp.ndarray   # scalar int32, number of completed steps
     mu: Any
     nu: Any
+    master: Any = {}
 
 
 def _adamw_kernel(c_ref, p_ref, g_ref, mu_ref, nu_ref,
@@ -139,16 +147,27 @@ def _adamw_leaf_inline(p, g, mu, nu, c1, c2, *, b1, b2, eps, lr, wd):
 
 def fused_adamw_init(params, trainable_mask, moment_dtype=jnp.bfloat16
                      ) -> FusedAdamWState:
-    """Zero moments for trainable leaves; (0,)-placeholders for frozen."""
+    """Zero moments for trainable leaves; (0,)-placeholders for frozen.
+    Trainable bfloat16-stored leaves additionally get an f32 master."""
+    from gdmcf_tpu.train.state import path_str  # lazy: avoids import cycle
+
     def z(p, t):
         if not t:
             return jnp.zeros((0,), dtype=moment_dtype)
         return jnp.zeros_like(p, dtype=moment_dtype)
 
+    master = {}
+    def collect(path, p, t):
+        if t and p.dtype == jnp.bfloat16:
+            master[path_str(path)] = p.astype(jnp.float32)
+        return p
+    jax.tree_util.tree_map_with_path(collect, params, trainable_mask)
+
     return FusedAdamWState(
         count=jnp.zeros((), jnp.int32),
         mu=jax.tree_util.tree_map(z, params, trainable_mask),
-        nu=jax.tree_util.tree_map(z, params, trainable_mask))
+        nu=jax.tree_util.tree_map(z, params, trainable_mask),
+        master=master)
 
 
 def fused_adamw_apply(params, grads, state: FusedAdamWState,
@@ -168,21 +187,32 @@ def fused_adamw_apply(params, grads, state: FusedAdamWState,
     c = jnp.stack([c1, c2])
 
     kw = dict(b1=b1, b2=b2, eps=eps, lr=lr, wd=weight_decay)
+    from gdmcf_tpu.train.state import path_str  # lazy: avoids import cycle
+    masters = state.master or {}
+    new_master = {}
 
-    def leaf(p, g, mu, nu, t):
+    def leaf(path, p, g, mu, nu, t):
         if not t:
             return p, mu, nu
+        s = path_str(path)
+        if s in masters:
+            # selective bf16 storage: math on the f32 master, bf16 write
+            m32, mu32, nu32 = _adamw_leaf_inline(masters[s], g, mu, nu,
+                                                 c1, c2, **kw)
+            new_master[s] = m32
+            return m32.astype(p.dtype), mu32, nu32
         if impl == "kernel" and p.ndim == 2 and p.size >= _MIN_KERNEL_ELEMS:
             return _adamw_leaf_kernel(p, g, mu, nu, c, interpret=interpret,
                                       **kw)
         return _adamw_leaf_inline(p, g, mu, nu, c1, c2, **kw)
 
-    out = jax.tree_util.tree_map(
-        lambda *a: tuple(leaf(*a)), params, grads, state.mu, state.nu,
-        trainable_mask)
+    out = jax.tree_util.tree_map_with_path(
+        lambda path, *a: tuple(leaf(path, *a)), params, grads, state.mu,
+        state.nu, trainable_mask)
     # out mirrors params' structure with (p, mu, nu) tuples at the leaves;
     # transpose to three params-structured trees
     new_params, new_mu, new_nu = jax.tree_util.tree_transpose(
         jax.tree_util.tree_structure(params),
         jax.tree_util.tree_structure((0, 0, 0)), out)
-    return new_params, FusedAdamWState(count=count, mu=new_mu, nu=new_nu)
+    return new_params, FusedAdamWState(count=count, mu=new_mu, nu=new_nu,
+                                       master=new_master)

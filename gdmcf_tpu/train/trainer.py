@@ -89,7 +89,8 @@ class Trainer:
             # update count (same math as the inline path)
             lr_arg = self._lr_at if self._lr_scheduled else cfg.lr
             self.tx = make_optimizer(lr_arg, cfg.weight_decay,
-                                     cfg.param_dtype, cfg.opt_moment_dtype)
+                                     cfg.param_dtype, cfg.opt_moment_dtype,
+                                     cfg.bf16_weights)
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
         if cfg.rng_impl != "threefry2x32":
