@@ -54,6 +54,25 @@ def main():
                          "synthetic batches — no eval, no full-dataset "
                          "materialization. This is the 10M-user / 1M-item "
                          "BASELINE.md target mode.")
+    ap.add_argument("--eval-users", type=int, default=0,
+                    help="after --train-steps, compose the full sharded eval "
+                         "path at the same geometry: N synthetic eval users "
+                         "streamed through evaluate_streaming (NativeCSR "
+                         "input/GT, packed transport, catalog-sharded "
+                         "scores + top-k merge, device metric sums) with "
+                         "finite/in-range assertions (VERDICT r4 item 5)")
+    ap.add_argument("--eval-fuse", type=int, default=0,
+                    help="override eval_batches_per_call (0 = config "
+                         "default 8). At [batch, 1M-item] score widths the "
+                         "8-batch fused eval program overflows one chip's "
+                         "HBM — use 1 there")
+    ap.add_argument("--skip-dense-check", action="store_true",
+                    help="skip the dense-evaluate equality legs (they "
+                         "materialize [eval_users, items] f32 on ONE "
+                         "device — 16 GB at 4096 x 1M, fine on the "
+                         "125 GB-host virtual mesh, OOM on a 16 GB chip). "
+                         "The equality is proven on the virtual mesh; the "
+                         "chip run records the wall number")
     ap.add_argument("--batch-pool", type=int, default=0,
                     help="cycle over N fixed synthetic batches instead of "
                          "fresh ones (gives the model signal to learn)")
@@ -71,11 +90,13 @@ def main():
         import jax
         import jax.numpy as jnp
 
+        extra = ({"eval_batches_per_call": args.eval_fuse}
+                 if args.eval_fuse else {})
         cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[args.dims],
                      emb_size=10, steps=5, noise_scale=0.01,
                      batch_size=args.batch, topN=[10, 20], lr=1e-4,
                      debug=True, sampling_steps=0, host_dense=False,
-                     mesh_dp=args.mesh_dp, mesh_mp=args.mesh_mp)
+                     mesh_dp=args.mesh_dp, mesh_mp=args.mesh_mp, **extra)
         print(f"building trainer for {args.users} x {args.items}, "
               f"dims [{args.dims}], mesh ({args.mesh_dp},{args.mesh_mp})")
         trainer = Trainer(cfg, args.users, args.items)
@@ -120,6 +141,74 @@ def main():
                 f"<= last-{n} mean {tail:.4f}")
             print(f"loss decreased: first-{n} mean {head:.4f} -> "
                   f"last-{n} mean {tail:.4f}")
+        if args.eval_users:
+            from gdmcf_tpu.data.native import NativeCSR
+
+            # eval rows are users [0, eval_users) of the full-geometry
+            # model (real uid lookups into the sharded 10M-row table);
+            # history/GT stay O(nnz) on the host and ride the packed wire
+            ev = synthetic_csr(rng, args.eval_users, args.items)
+            gt = synthetic_csr(rng, args.eval_users, args.items,
+                               avg_degree=3)
+            inp, gtn = NativeCSR.from_scipy(ev), NativeCSR.from_scipy(gt)
+            t2 = time.time()
+            res = trainer.evaluate_streaming(state, [inp], gtn, [inp],
+                                             trainer.cfg.topN,
+                                             drop_last=False)
+            ew = time.time() - t2
+            flat = [float(v) for grp in res for v in grp]
+            assert flat and all(np.isfinite(v) for v in flat), res
+            assert all(0.0 <= v <= 1.0 for v in flat), res
+            nb = -(-args.eval_users // args.batch)
+            print(f"EVAL_OK users={args.eval_users} items={args.items} "
+                  f"wall={ew:.1f}s ({ew / nb * 1e3:.0f} ms/batch incl "
+                  f"compile) metrics={[[round(v, 4) for v in g] for g in res]}",
+                  flush=True)
+            t3 = time.time()
+            res_w = trainer.evaluate_streaming(state, [inp], gtn, [inp],
+                                               trainer.cfg.topN,
+                                               drop_last=False)
+            ew2 = time.time() - t3
+            fw = [float(v) for grp in res_w for v in grp]
+            np.testing.assert_allclose(fw, flat, atol=1.01e-4)
+            print(f"EVAL_STEADY wall={ew2:.1f}s "
+                  f"({ew2 / nb * 1e3:.0f} ms/batch warm)", flush=True)
+            if args.skip_dense_check:
+                print("scale steps-only ok (dense check skipped): "
+                      f"{args.train_steps} steps, total {time.time()-t0:.1f}s")
+                return
+            # correctness gate with teeth: the streamed/sharded/packed path
+            # must equal the dense evaluate() on the same rows + state (the
+            # [eval_users, n_item] dense slice is small even at 1M items)
+            rows = np.asarray(ev.todense(), dtype=np.float32)
+            gtd = np.asarray(gt.todense(), dtype=np.float32)
+            res_d = trainer.evaluate(state, rows, gtd, rows,
+                                     trainer.cfg.topN)
+            flat_d = [float(v) for grp in res_d for v in grp]
+            np.testing.assert_allclose(flat, flat_d, atol=1.01e-4,
+                                       err_msg="streaming (sharded) eval "
+                                       "!= dense eval at identical state")
+            # second leg with guaranteed-live signal (metrics == 0 on both
+            # sides would also "match"): GT = the input rows, NO history
+            # mask — reconstruction retrieval is nonzero even near-random
+            # at the largest cutoff, so the equality compares real numbers
+            empty = NativeCSR.from_scipy(
+                sp.csr_matrix((args.eval_users, args.items),
+                              dtype=np.float32))
+            # cutoff ~items/128 -> ~12 expected hits per avg_degree even
+            # under a fully random ranking: all-zero here means a real bug
+            topn_live = [min(max(args.items // 128, 100), 8192)]
+            res2 = trainer.evaluate_streaming(state, [inp], inp, [empty],
+                                              topn_live, drop_last=False)
+            res2_d = trainer.evaluate(state, rows, rows,
+                                      np.zeros_like(rows), topn_live)
+            f2 = [float(v) for grp in res2 for v in grp]
+            f2d = [float(v) for grp in res2_d for v in grp]
+            np.testing.assert_allclose(f2, f2d, atol=1.01e-4)
+            assert max(f2) > 0.0, ("reconstruction-retrieval leg returned "
+                                   "all-zero metrics", res2)
+            print(f"EVAL_MATCHES_DENSE live_leg_max={max(f2):.4f}",
+                  flush=True)
         print(f"scale steps-only ok: {args.train_steps} steps, "
               f"total {time.time()-t0:.1f}s")
         return
