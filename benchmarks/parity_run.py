@@ -58,6 +58,7 @@ def run_seed(opts, seed: int) -> dict:
         sampling_steps=opts.sampling_steps, mean_type=opts.mean_type,
         reweight=bool(opts.reweight),
         OneHotMatrix=opts.OneHotMatrix, epochs=opts.epochs, eval_every=5,
+        diffusion_variant=opts.variant,
         n_user_cap=opts.n_user_cap, fidelity=bool(opts.fidelity),
         random_seed=seed, debug=True,
         train_steps_per_call=1)
@@ -122,6 +123,8 @@ def main():
     ap.add_argument("--n-user-cap", type=int, default=3000)
     ap.add_argument("--fidelity", type=int, default=1)
     ap.add_argument("--OneHotMatrix", type=int, default=2)
+    ap.add_argument("--variant", default="discrete",
+                    choices=["discrete", "legacy", "ablation"])
     ap.add_argument("--dump-scores", default=None,
                     help="path stem for final raw score matrices "
                          "(<stem>.s<seed>.npy; tie-neutral OH1 protocol)")

@@ -197,11 +197,30 @@ def build(args_ns, n_user, n_item):
     mean_type = (gd.ModelMeanType.START_X if args_ns.mean_type == "x0"
                  else gd.ModelMeanType.EPSILON)
     cat_one_hot = args_ns.OneHotMatrix == 2
-    diffusion = gd.GaussianDiffusionDiscrete(
-        mean_type, args_ns.noise_schedule, args_ns.noise_scale,
-        args_ns.noise_min, args_ns.noise_max, args_ns.steps, device,
-        discrete=args_ns.discrete, CatOneHot=cat_one_hot,
-        epps=1 - args_ns.epps0, args=args_ns).to(device)
+    variant = getattr(args_ns, "diffusion", "discrete")
+    if variant == "legacy":
+        # the ORIGINAL continuous GaussianDiffusion (gaussian_diffusion.py
+        # :54-498) — instantiable but unreachable from main (which
+        # hardcodes Discrete at main.py:190); driven here for the golden
+        # tier. No epps/args params; plain model(x_t, ts) contract.
+        diffusion = gd.GaussianDiffusion(
+            mean_type, args_ns.noise_schedule, args_ns.noise_scale,
+            args_ns.noise_min, args_ns.noise_max, args_ns.steps, device,
+            discrete=args_ns.discrete, CatOneHot=cat_one_hot).to(device)
+    elif variant == "ablation":
+        # GaussianDiffusionAblation (:1201-...): the no-input-corruption
+        # ablation (training feeds x_start to the model, :1523)
+        diffusion = gd.GaussianDiffusionAblation(
+            mean_type, args_ns.noise_schedule, args_ns.noise_scale,
+            args_ns.noise_min, args_ns.noise_max, args_ns.steps, device,
+            discrete=args_ns.discrete, CatOneHot=cat_one_hot,
+            epps=1 - args_ns.epps0, args=args_ns).to(device)
+    else:
+        diffusion = gd.GaussianDiffusionDiscrete(
+            mean_type, args_ns.noise_schedule, args_ns.noise_scale,
+            args_ns.noise_min, args_ns.noise_max, args_ns.steps, device,
+            discrete=args_ns.discrete, CatOneHot=cat_one_hot,
+            epps=1 - args_ns.epps0, args=args_ns).to(device)
     out_dims = list(args_ns.dims) + [n_item]
     if args_ns.OneHotMatrix == 1:
         # ref main.py:202-204: block one-hot rows have width n_item + batch
@@ -341,7 +360,8 @@ def run(opts) -> dict:
         reweight=bool(opts.reweight), discrete=0.9995,
         OneHotMatrix=opts.OneHotMatrix,
         batch_size=opts.batch, user_guided=1, epps0=epps0,
-        gcnLayerNum=opts.gcnLayerNum, noise_type=0)
+        gcnLayerNum=opts.gcnLayerNum, noise_type=0,
+        diffusion=opts.diffusion)
 
     torch.manual_seed(opts.seed)
     np.random.seed(opts.seed)
@@ -453,6 +473,11 @@ def main():
     # 2 = CatOneHot (two-arg backbones); 0 = plain model(x_t, ts) backbones
     # like DNN (ref gaussian_diffusion.py:885-894 branches on CatOneHot)
     ap.add_argument("--OneHotMatrix", type=int, default=2)
+    ap.add_argument("--diffusion", default="discrete",
+                    choices=["discrete", "legacy", "ablation"],
+                    help="which reference diffusion class drives the run "
+                         "(legacy/ablation are main-unreachable upstream; "
+                         "driven directly for golden-tier parity)")
     ap.add_argument("--gcnLayerNum", type=int, default=2)
     ap.add_argument("--dump-scores", default=None,
                     help="write the final raw [n_eval, n_item] score matrix "
