@@ -232,6 +232,15 @@ class Config:
             raise ValueError(f"unknown diffusion_variant {self.diffusion_variant}")
         if self.param_dtype not in ("float32", "bfloat16"):
             raise ValueError("param_dtype must be float32 or bfloat16")
+        if isinstance(self.bf16_weights, str):
+            # a bare string would be iterated per-character below, matching
+            # essentially every param path — normalize to a 1-pattern tuple
+            self.bf16_weights = (self.bf16_weights,)
+        else:
+            self.bf16_weights = tuple(self.bf16_weights)
+        if any(not isinstance(p, str) or not p for p in self.bf16_weights):
+            raise ValueError("bf16_weights must be non-empty path-substring "
+                             f"strings, got {self.bf16_weights!r}")
         if self.bf16_weights and self.param_dtype == "bfloat16":
             raise ValueError(
                 "bf16_weights is redundant with param_dtype=bfloat16 "

@@ -106,7 +106,17 @@ class Recommender:
                 "no checkpoint directory: this recommender was built from a "
                 "live state (demo mode); pass ckpt_dir explicitly")
         with self._reload_lock:
-            template = self.trainer.init_state()
+            # ABSTRACT template (shapes/dtypes only): a concrete
+            # init_state() would run the full model init and allocate a
+            # complete params+moments TrainState on-device per reload —
+            # live params + fresh state + restored state is ~3-4x the
+            # params footprint, enough to OOM a chip serving a
+            # near-HBM-capacity catalog. eval_shape keeps the reload
+            # allocation-free until the restored arrays land.
+            if self.trainer.mesh is None:
+                template = jax.eval_shape(self.trainer.init_state)
+            else:  # mesh path does concrete device_puts; not traceable
+                template = self.trainer.init_state()
             ckpt = Checkpointer(directory)
             try:
                 state = ckpt.restore(template, step=step)

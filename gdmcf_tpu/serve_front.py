@@ -42,6 +42,14 @@ import numpy as np
 _LEN = struct.Struct(">I")
 
 
+class BackendUnreachable(RuntimeError):
+    """Front->backend RPC transport failed: distinct from a REFUSED
+    operation (backend alive, said no). A refused /reload is 409 ("old
+    params keep serving" — true); an unreachable backend is 502 (nothing
+    is serving; FileNotFoundError from a missing checkpoint must NOT land
+    here, which is why this is a dedicated type rather than OSError)."""
+
+
 def _send_msg(sock: socket.socket, obj) -> None:
     payload = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
     sock.sendall(_LEN.pack(len(payload)) + payload)
@@ -308,6 +316,12 @@ def make_handler(limits: dict, submit, stats, reload=None):
                     return
                 try:
                     self._reply(200, reload(ckpt_dir))
+                except BackendUnreachable as e:
+                    # transport-level failure (front->backend RPC died):
+                    # we do NOT know the params state and traffic is
+                    # likely failing too — this must not read as a clean
+                    # "refused, old tree still serving"
+                    self._reply(502, {"error": f"backend unreachable: {e}"})
                 except Exception as e:
                     # live params are untouched on any failure; 409 = the
                     # swap was refused, traffic keeps serving the old tree
@@ -361,7 +375,12 @@ def front_serve(sock_path: str, host: str, port: int,
         return pool.call(("info",))["stats"]
 
     def reload(ckpt_dir):
-        return pool.call(("reload", ckpt_dir))
+        try:
+            return pool.call(("reload", ckpt_dir))
+        except (ConnectionError, OSError, EOFError) as e:
+            # transport failure front->backend, NOT a refused swap: the
+            # params state is unknown and /recommend is failing too
+            raise BackendUnreachable(f"{type(e).__name__}: {e}") from e
 
     def watchdog():
         misses = 0

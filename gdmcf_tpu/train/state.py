@@ -40,12 +40,23 @@ def path_str(path) -> str:
     return "/".join(parts)
 
 
+def _frozen_path(path) -> bool:
+    return any(isinstance(getattr(k, "key", None), str)
+               and k.key.startswith("frozen_") for k in path)
+
+
 def bf16_weight_mask(params, patterns):
     """Bool tree: True where the leaf's path contains any of ``patterns``
-    as a substring (the selective-bf16 operand-storage selector)."""
+    as a substring (the selective-bf16 operand-storage selector).
+
+    'frozen_*' leaves never match: they are deterministic faithful
+    constants (e.g. the lightGCN propagated link tables) that must keep
+    full precision and receive no optimizer state — a broad pattern like
+    'item' must not silently round them to bf16."""
     pats = tuple(patterns)
     return jax.tree_util.tree_map_with_path(
-        lambda p, _: any(s in path_str(p) for s in pats), params)
+        lambda p, _: (not _frozen_path(p)
+                      and any(s in path_str(p) for s in pats)), params)
 
 
 def cast_bf16_weights(params, patterns):
@@ -129,13 +140,15 @@ def with_selective_f32_master(inner: optax.GradientTransformation,
             lambda p, leaf: masters.get(path_str(p), leaf), params)
 
     def init(params):
+        # same selection rule as cast_bf16_weights / fused_adamw_init:
+        # pattern match MINUS frozen leaves (no masters for constants)
+        mask = bf16_weight_mask(params, pats)
         masters = {}
-        def collect(p, leaf):
-            s = path_str(p)
-            if any(t in s for t in pats):
-                masters[s] = leaf.astype(jnp.float32)
+        def collect(p, leaf, m):
+            if m:
+                masters[path_str(p)] = leaf.astype(jnp.float32)
             return leaf
-        jtu.tree_map_with_path(collect, params)
+        jtu.tree_map_with_path(collect, params, mask)
         return (inner.init(_full(params, masters)), masters)
 
     def update(grads, state, params=None):

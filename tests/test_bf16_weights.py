@@ -143,3 +143,50 @@ def test_checkpoint_roundtrip_with_masters(tmp_path):
 def test_bf16_weights_rejects_bf16_param_dtype():
     with pytest.raises(ValueError):
         _cfg(param_dtype="bfloat16")
+
+
+def test_bare_string_normalizes_to_one_pattern():
+    """A bare string must not be iterated per-character (which would match
+    essentially every param path and silently bf16 the whole tree)."""
+    cfg = _cfg(bf16_weights="embedding_item")
+    assert cfg.bf16_weights == ("embedding_item",)
+    tr = Trainer(cfg, 64, 48)
+    dts = _dtypes(tr.init_state().params)
+    assert dts["embedding_item"] == jnp.bfloat16
+    assert all(dt == jnp.float32 for k, dt in dts.items()
+               if k != "embedding_item"), dts
+    with pytest.raises(ValueError):
+        _cfg(bf16_weights=(1,))
+
+
+def test_frozen_leaves_never_selected():
+    """'frozen_*' constants (e.g. the lightGCN propagated link tables) must
+    keep full precision and never get masters, even under a broad pattern —
+    on BOTH optimizer paths (their opt_state structures must also agree)."""
+    from gdmcf_tpu.train.state import bf16_weight_mask
+
+    import scipy.sparse as sp
+    tr_csr = sp.csr_matrix(
+        (np.random.default_rng(0).random((64, 48)) < 0.2
+         ).astype(np.float32))
+    for opt_impl in ("inline", "optax"):
+        cfg = _cfg(backbone="lightGCN", bf16_weights=("item",),
+                   opt_impl=opt_impl)
+        tr = Trainer(cfg, 64, 48, train_csr=tr_csr)
+        st = tr.init_state()
+        mask = bf16_weight_mask(st.params, cfg.bf16_weights)
+        flat = {path_str(p): (leaf, m) for (p, leaf), (_, m) in zip(
+            jax.tree_util.tree_flatten_with_path(st.params)[0],
+            jax.tree_util.tree_flatten_with_path(mask)[0])}
+        frozen = {k for k in flat if "frozen_" in k}
+        assert frozen, "DNNlightGCN should carry frozen_ constants"
+        for k in frozen:
+            leaf, m = flat[k]
+            assert not m and leaf.dtype != jnp.bfloat16, (k, leaf.dtype)
+        masters = (st.opt_state.master if opt_impl == "inline"
+                   else st.opt_state[1])
+        assert not (set(masters) & frozen), masters.keys()
+        # selection identical across paths: masters exist exactly for the
+        # bf16-stored trainable leaves
+        sel = {k for k, (leaf, m) in flat.items() if m}
+        assert set(masters) == sel, (set(masters), sel)
