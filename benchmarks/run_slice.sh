@@ -26,10 +26,12 @@ run() {
 run python benchmarks/scaling_bench.py --per-chip-batch 512
 # 2. catalog-MP row: dp x mp mesh with the sharded lookup engaged
 run python benchmarks/scaling_bench.py --per-chip-batch 512 --mp 2
-# 3. the BASELINE.md 10M x 1M target at real bandwidth (loss must go down)
+# 3. the BASELINE.md 10M x 1M target at real bandwidth (loss must go down),
+#    now COMPOSED with the sharded streaming eval: catalog-sharded scores,
+#    top-k merge, packed GT, streaming==dense equality gate + live-signal leg
 run python benchmarks/scale_smoke.py --users 10000000 --items 1000000 \
     --dims 64 --batch 256 --mesh_dp 2 --mesh_mp 4 --train-steps 50 \
-    --batch-pool 8 --assert-decreasing
+    --batch-pool 8 --assert-decreasing --eval-users 512
 # 4. the driver-facing multichip entry on real devices
 run python __graft_entry__.py
 echo "ALL DONE $(date -u)" | tee -a "$LOG"
