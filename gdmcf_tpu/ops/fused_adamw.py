@@ -79,7 +79,7 @@ class FusedAdamWState(NamedTuple):
     count: jnp.ndarray   # scalar int32, number of completed steps
     mu: Any
     nu: Any
-    master: Any = {}
+    master: Any = None  # None (not {}): a shared mutable default is a trap
 
 
 def _adamw_kernel(c_ref, p_ref, g_ref, mu_ref, nu_ref,

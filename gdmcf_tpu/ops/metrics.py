@@ -123,17 +123,26 @@ def packed_batch_metric_sums(gt_packed: jnp.ndarray, idx: jnp.ndarray,
 class MetricAccumulator:
     """Streamed Precision/Recall/NDCG/MRR: feed (gt_rows, pred_idx) batches,
     read the reference-equivalent means at the end. Exact — sums are
-    accumulated unrounded, the division happens once."""
+    accumulated unrounded, the division happens once.
+
+    Per-batch sums from the device path stay ON DEVICE until
+    :meth:`result`: fetching each batch's [4, n] sums eagerly would
+    synchronize every add() (~25 ms relay RTT per batch here — the same
+    lesson as the trainer's own gt_dev path, trainer.py)."""
 
     def __init__(self, topn: Sequence[int]):
         self.topn = tuple(topn)
         self.sums = np.zeros((4, len(self.topn)), dtype=np.float64)
+        self._pending = []  # device [4, n] f32 sums, fetched at result()
         self.n_users = 0
 
-    def add(self, gt_rows, pred_idx) -> None:
+    def add(self, gt_rows, pred_idx, binary: "bool | None" = None) -> None:
+        """``binary``: pass the dataset-level verdict when the caller knows
+        it (e.g. ``dataset.binary``) to skip the O(B*n_item) host scan."""
         g = np.asarray(gt_rows)
         from gdmcf_tpu.ops.bitpack import is_binary, pack_rows
-        if g.ndim == 2 and g.size and is_binary(g):
+        if g.ndim == 2 and g.size and (is_binary(g) if binary is None
+                                       else binary):
             # binary GT (the normal case): ship bits, 32x less host->device
             self.add_packed(pack_rows(g), pred_idx, g.shape[1])
             return
@@ -144,23 +153,27 @@ class MetricAccumulator:
     def add_packed(self, gt_packed, pred_idx, n_item: int) -> None:
         """Device-transport-efficient add: gt ships bit-packed (32x less),
         pred_idx stays a device array (never fetched); only the [4, n]
-        sums cross back. Same math as :meth:`add`."""
-        if max(self.topn) > pred_idx.shape[-1]:
-            raise ValueError(
-                f"topn cutoff {max(self.topn)} exceeds the "
-                f"{pred_idx.shape[-1]} ranked predictions — rank at least "
-                "max(topn) items per user")
-        sums = np.asarray(packed_batch_metric_sums(
+        sums cross back, deferred to :meth:`result`. Same math as
+        :meth:`add` (the cutoff guard lives in packed_batch_metric_sums)."""
+        sums = packed_batch_metric_sums(
             jnp.asarray(gt_packed), jnp.asarray(pred_idx), n_item,
-            self.topn), dtype=np.float64)
+            self.topn)
         if sums.ndim == 3:  # fused group [G, 4, n]: reduce, count G*B users
-            self.sums += sums.sum(axis=0)
+            sums = sums.sum(axis=0)
             self.n_users += int(pred_idx.shape[0] * pred_idx.shape[1])
         else:
-            self.sums += sums
             self.n_users += int(pred_idx.shape[0])
+        self._pending.append(sums)
+
+    def _drain(self) -> None:
+        if self._pending:
+            # one stacked fetch for the whole epoch, not one per batch
+            self.sums += np.asarray(jnp.stack(self._pending),
+                                    dtype=np.float64).sum(axis=0)
+            self._pending.clear()
 
     def result(self):
+        self._drain()
         out = self.sums / max(self.n_users, 1)
         rnd = lambda row: [round(float(v), 4) for v in row]
         return rnd(out[0]), rnd(out[1]), rnd(out[2]), rnd(out[3])

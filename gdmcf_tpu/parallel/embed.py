@@ -27,6 +27,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 def _local_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
                   axis_name: str) -> jnp.ndarray:
+    # CONTRACT: ids must lie in [0, N). An out-of-range id is owned by NO
+    # shard, so every mask is False and the psum returns an exact
+    # all-zero row — silently (no device-side bounds check can raise
+    # inside shard_map without a debug callback). The data layer validates
+    # ids at ingest (data/loader.py raises on out-of-range edges); keep
+    # that invariant when feeding this path from new code.
     rows_per_shard = table_shard.shape[0]
     shard = jax.lax.axis_index(axis_name)
     offset = shard * rows_per_shard

@@ -39,7 +39,16 @@ def initialize(coordinator_address: Optional[str] = None,
         "COORDINATOR_ADDRESS")
     if coordinator_address is None:
         return  # single-host run
-    num_processes = num_processes or int(os.environ.get("NUM_PROCESSES", "1"))
+    if num_processes is None:
+        env = os.environ.get("NUM_PROCESSES")
+        if env is None:
+            # a silent default of 1 would "succeed" as a solo cluster and
+            # train on the FULL dataset while the peers hang — fail loudly
+            raise ValueError(
+                "COORDINATOR_ADDRESS is set but NUM_PROCESSES is not: a "
+                "multi-host launch must state its process count (env "
+                "NUM_PROCESSES or the num_processes argument)")
+        num_processes = int(env)
     process_id = process_id if process_id is not None else int(
         os.environ.get("PROCESS_ID", "0"))
     if heartbeat_timeout_s is None and os.environ.get("HEARTBEAT_TIMEOUT_S"):
@@ -140,7 +149,11 @@ _SYNC_STATE: dict = {}  # device-id key -> compiled barrier fn
 def sync_hosts(name: str = "barrier", devices=None) -> None:
     """Cross-host barrier via a tiny psum (safe on single host too).
     The compiled barrier is cached per device set — a fresh shard_map per
-    call would retrace/recompile on every barrier."""
+    call would retrace/recompile on every barrier.
+
+    ``name`` is a debugging label only: every call shares the one psum
+    barrier regardless of name (there are no independent named channels —
+    do not rely on names for ordering between distinct barrier points)."""
     from jax.sharding import PartitionSpec as P
     devices = tuple(devices if devices is not None else jax.devices())
     key = tuple(d.id for d in devices)

@@ -39,15 +39,9 @@ DEFAULT_RULES: List[Tuple[str, P]] = [
 
 
 def _path_str(path) -> str:
-    parts = []
-    for p in path:
-        if hasattr(p, "key"):
-            parts.append(str(p.key))
-        elif hasattr(p, "idx"):
-            parts.append(str(p.idx))
-        else:
-            parts.append(str(p))
-    return "/".join(parts)
+    # the one canonical leaf-path format, shared with Config.bf16_weights
+    from gdmcf_tpu.train.state import path_str
+    return path_str(path)
 
 
 def compatible_spec(spec: P, shape, mesh: Mesh) -> P:

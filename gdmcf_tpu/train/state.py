@@ -26,9 +26,12 @@ class TrainState(NamedTuple):
 
 
 def path_str(path) -> str:
-    """'/'-joined readable key path for a pytree leaf (dict keys and
-    sequence indices), e.g. ``in_layers/[0]/w`` — the addressing scheme for
-    ``Config.bf16_weights`` patterns."""
+    """'/'-joined readable key path for a pytree leaf (dict keys and bare
+    sequence indices), e.g. ``in_layers/0/w`` — the ONE addressing scheme
+    shared by ``Config.bf16_weights`` patterns and the sharding rules
+    (parallel/sharding.py DEFAULT_RULES regexes). Keep a single format:
+    two divergent ones made a working sharding path silently match
+    nothing as a bf16 pattern (round-5 review finding)."""
     parts = []
     for k in path:
         key = getattr(k, "key", None)
@@ -36,7 +39,7 @@ def path_str(path) -> str:
             parts.append(str(key))
         else:
             idx = getattr(k, "idx", None)
-            parts.append(f"[{idx}]" if idx is not None else str(k))
+            parts.append(str(idx) if idx is not None else str(k))
     return "/".join(parts)
 
 

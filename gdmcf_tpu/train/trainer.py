@@ -268,6 +268,7 @@ class Trainer:
         transport) and return the global result. Collective — every host
         must call it after accumulating its disjoint share."""
         from gdmcf_tpu.parallel.multihost import allgather_host_vectors
+        acc._drain()  # fold any deferred on-device batch sums into .sums
         payload = np.concatenate([acc.sums.ravel(),
                                   np.asarray([acc.n_users], np.float64)])
         total = allgather_host_vectors(payload).sum(axis=0)
