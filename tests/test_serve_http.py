@@ -2,6 +2,7 @@
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -618,3 +619,56 @@ def test_multiproc_front_forwards_reload(server, tmp_path):
                 pass
         rec.params = orig_params
         rec.ckpt_dir = None
+
+
+def test_front_reload_with_dead_backend_is_502(server):
+    """/reload when the front->backend RPC transport is dead must be 502
+    (backend unreachable — params state unknown, traffic failing), NOT the
+    409 'refused, old params keep serving' — that claim would be false and
+    delays incident response (round-5 review finding)."""
+    import os
+    import socket
+    import tempfile
+    import time
+    import uuid
+
+    from gdmcf_tpu.serve_front import Backend, spawn_fronts
+    from gdmcf_tpu.serve_http import Coalescer
+
+    rec, _ = server
+    sock_path = os.path.join(tempfile.gettempdir(),
+                             f"gdmcf_502_{uuid.uuid4().hex[:8]}.sock")
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+    backend = Backend(Coalescer(rec), rec, sock_path)
+    # long watchdog budget: the front must still be alive when we POST
+    fronts = spawn_fronts(1, sock_path, "127.0.0.1", port,
+                          watchdog_interval=5.0, watchdog_failures=10)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                assert _get(base + "/healthz")[0] == 200
+                break
+            except OSError:
+                time.sleep(0.2)
+        backend.close()  # sever the RPC transport
+        req = urllib.request.Request(base + "/reload", data=b"{}",
+                                     headers={"Content-Type":
+                                              "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=60)
+        assert e.value.code == 502, e.value.code
+        assert "unreachable" in json.loads(e.value.read())["error"]
+    finally:
+        backend.close()
+        for p in fronts:
+            p.terminate()
+        for p in fronts:
+            try:
+                p.wait(timeout=10)
+            except Exception:
+                pass
