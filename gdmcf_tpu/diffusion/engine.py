@@ -418,11 +418,16 @@ class Diffusion:
         x_t = self.q_sample(x_start, ts, noise) if self.noise_scale != 0.0 else x_start
 
         if self.variant == "legacy" and self.cat_one_hot:
-            # Legacy class: x_tU is a *continuous* q_sample of the one-hot at
-            # the same ts (ref GaussianDiffusion training_losses :293-300).
+            # Legacy class: x_tU is a *continuous* q_sample of the one-hot
+            # at an INDEPENDENT first timestep draw — the reference's legacy
+            # training_losses calls sample_timesteps TWICE (ref :281-291 for
+            # the x_tU branch, :294-300 for x_t/model/weights; both against
+            # the same Lt state), so the one-hot channel's corruption level
+            # is uncorrelated with the model's conditioning t.
+            ts_u, _pt_u = self.sample_timesteps(k_ts_u, lt, B)
             x_startU = jnp.stack([1.0 - x_start, x_start], axis=-1)
             noise_u = jax.random.normal(k_noise_u, x_startU.shape)
-            x_tU = (self.q_sample(x_startU, ts, noise_u)
+            x_tU = (self.q_sample(x_startU, ts_u, noise_u)
                     if self.noise_scale != 0.0 else x_startU)
 
         # Uniform call: backbones ignore the kwargs they don't use. RCloss is
@@ -563,6 +568,12 @@ class Diffusion:
 
         # Degree-guided gate probability: per-user normalized degree of the
         # *input* rows (ref :711-713); resampled every step.
+        # ALWAYS-ON REPAIR (documented divergence, PARITY.md): for an
+        # all-zero eval batch the reference computes x_degree/0 -> NaN and
+        # its multinomial raises; the max(.,1e-12) floor instead makes
+        # every gate probability 0 (degree gate disabled for a batch with
+        # no interactions — the only non-crashing reading). Identical
+        # outputs for every non-degenerate batch.
         deg = x_start.sum(axis=1)
         deg_p = deg / jnp.maximum(deg.max(), 1e-12)
         clean_onehot = jnp.stack([1.0 - x_start, x_start], axis=-1)

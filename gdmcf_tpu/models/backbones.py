@@ -60,6 +60,12 @@ class ModelDef(NamedTuple):
     apply: Callable[..., Tuple[jnp.ndarray, Optional[jnp.ndarray]]]
     needs_onehot: bool   # reference CatOneHot: model takes x_U
     needs_index: bool    # reference diffusion.indexIn: model takes index/graph
+    # apply dereferences ``graph`` unconditionally (the GCN family, ref
+    # DNN.py:1241 does graph.argmax with no None check). The degenerate
+    # noise_scale==0 reverse path has no graph to pass — the reference
+    # crashes there (model(x_t, t, x_tU) at :699 -> AttributeError on
+    # None); the Trainer refuses the combination loudly at construction.
+    needs_graph: bool = False
 
 
 def _tower_dims(in_dims: List[int], emb_size: int) -> List[int]:
@@ -414,7 +420,8 @@ def dnn_one_hot_embedding_gcn(in_dims, out_dims, emb_size, item_num, user_num,
         scores = cosine_scores(hc, item_table, eps=cosine_eps)
         return scores, closs
 
-    return ModelDef(init, apply, needs_onehot=True, needs_index=True)
+    return ModelDef(init, apply, needs_onehot=True, needs_index=True,
+                    needs_graph=True)
 
 
 # ---------------------------------------------------------------------------

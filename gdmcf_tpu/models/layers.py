@@ -174,24 +174,25 @@ def nt_xent_loss(z1: jnp.ndarray, z2: jnp.ndarray, temperature: float = 0.1,
         core = jax.checkpoint(functools.partial(
             nt_xent_softmax_core, temperature=temperature, eps=eps))
         return core(z1, z2)
-    sim = (z1 @ z2.T) / temperature
     if impl == "lse":
         # Algebraically identical: softmax rows sum to 1, so the off-diagonal
         # mass is 1 - diag; only the row logsumexp and the diagonal are
         # needed, never the normalized [B, B] matrix. diag <= 1 because the
         # row logsumexp includes the diagonal term.
+        sim = (z1 @ z2.T) / temperature
         lse = jax.nn.logsumexp(sim, axis=-1)
         diag = jnp.exp(jnp.diagonal(sim) - lse)
         neg_sum = 1.0 - diag
-    else:
-        p = jax.nn.softmax(sim, axis=-1)
-        diag = jnp.diagonal(p)
-        neg_sum = p.sum(axis=1) - diag
-    # ALWAYS-ON REPAIR (documented divergence, applies even under
-    # fidelity=True; see docs/PARITY.md "Always-on repairs"): epsilon also in
-    # the denominator — the reference guards only the numerator (ref
-    # DNN.py:502), so when the positive saturates the softmax, neg_sum
-    # underflows to 0 and the loss — then the whole run — goes inf/NaN
-    # (reproduced within ~50 steps on random data). Not gated behind
-    # fidelity because a training run that NaNs reproduces nothing.
-    return -jnp.log((diag + eps) / (neg_sum + eps)).mean()
+        # ALWAYS-ON REPAIR (documented divergence, applies even under
+        # fidelity=True; see docs/PARITY.md "Always-on repairs"): epsilon
+        # also in the denominator — the reference guards only the numerator
+        # (ref DNN.py:502), so when the positive saturates the softmax,
+        # neg_sum underflows to 0 and the loss — then the whole run — goes
+        # inf/NaN (reproduced within ~50 steps on random data). Not gated
+        # behind fidelity because a training run that NaNs reproduces
+        # nothing. nt_xent_softmax_core carries the same repair.
+        return -jnp.log((diag + eps) / (neg_sum + eps)).mean()
+    # softmax form: ONE implementation — the core is the production default
+    # here and the remat path's target; duplicating its body risked the two
+    # copies silently diverging (round-5 review finding)
+    return nt_xent_softmax_core(z1, z2, temperature=temperature, eps=eps)

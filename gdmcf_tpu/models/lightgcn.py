@@ -23,6 +23,8 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -338,7 +340,11 @@ def pretrain(train_csr: sp.spmatrix, test_csr: sp.spmatrix,
         pos, neg = ncsr.sample_bpr(users, int(rng.integers(2 ** 62)))
         return users, pos, neg
 
-    @jax.jit
+    # donate the table + moments: at the 1M x 200k pretrain geometry the
+    # [n_user+n_item, 64] f32 table and two Adam moment trees are GBs;
+    # without donation XLA double-buffers them every step (the main
+    # trainer donates its state for the same reason, trainer.py)
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(e0, opt_state, prop_args, users, pos, neg):
         def loss_fn(e0):
             fu, fi = prop(e0, prop_args)

@@ -95,6 +95,16 @@ class Trainer:
             jax.config.update("jax_debug_nans", True)
         if cfg.rng_impl != "threefry2x32":
             jax.config.update("jax_default_prng_impl", cfg.rng_impl)
+        if cfg.noise_scale == 0.0 and getattr(self.model, "needs_graph",
+                                              False):
+            raise ValueError(
+                f"noise_scale=0 cannot serve backbone {cfg.backbone}: the "
+                "degenerate reverse path has no synthetic graph to feed it "
+                "(the reference crashes identically — model(x_t, t, x_tU) "
+                "at gaussian_diffusion.py:699 against a forward that "
+                "dereferences graph unconditionally, DNN.py:1241). Use a "
+                "graph-free backbone (e.g. DNN/DNNOneHotEmbedding) for "
+                "this ablation")
         if cfg.sampling_steps > cfg.steps:
             import warnings
             warnings.warn(

@@ -606,3 +606,106 @@ if __name__ == "__main__":
                "eps_hazard": _eps_hazard_check}
     _checks[_mode](load_reference())
     print(f"OK {_mode}")
+
+
+@pytest.mark.slow
+def test_legacy_catonehot_xtU_uses_independent_timestep(ref):
+    """The legacy class draws TWO independent importance timesteps: the
+    first corrupts the one-hot channel x_tU (ref gaussian_diffusion.py
+    :281-291), the second drives x_t/model/weights (:294-300). Reusing one
+    draw correlates the channels' corruption levels and shifts the loss
+    distribution (round-5 review finding — every earlier legacy gate ran
+    CatOneHot=False where the branch is dead). A hot noise schedule plus a
+    model that reads BOTH channels makes the moments sensitive to the
+    correlation structure, not just the marginals."""
+    gd, _, _ = ref
+    HOT = dict(noise_schedule="linear-var", noise_scale=0.5,
+               noise_min=0.1, noise_max=0.5, steps=5)
+    rng = np.random.default_rng(5)
+    w = (rng.standard_normal((N_ITEM, N_ITEM)) * 0.05).astype(np.float32)
+    w2 = (rng.standard_normal((N_ITEM, N_ITEM)) * 0.05).astype(np.float32)
+    x0 = (rng.random((128, N_ITEM)) < 0.25).astype(np.float32)
+    draws = 40
+
+    wt, wt2 = torch.tensor(w), torch.tensor(w2)
+
+    class TwoChannel(torch.nn.Module):
+        def forward(self, x, t, x_U):
+            return x @ wt + x_U[..., 1] @ wt2
+
+    torch.manual_seed(0)
+    t_losses = []
+    for _ in range(draws):
+        diff_t = gd.GaussianDiffusion(
+            gd.ModelMeanType.START_X, HOT["noise_schedule"],
+            HOT["noise_scale"], HOT["noise_min"], HOT["noise_max"],
+            HOT["steps"], torch.device("cpu"), CatOneHot=True)
+        with torch.no_grad():
+            terms = diff_t.training_losses(TwoChannel(), _t(x0), True)
+        t_losses.append(terms["loss"].numpy())
+    t_all = np.concatenate(t_losses)
+
+    wj, wj2 = jnp.asarray(w), jnp.asarray(w2)
+
+    def apply_j(params, x, ts, x_U=None, index=None, graph=None,
+                rcloss=False, train=True, rng=None):
+        return x @ wj + x_U[..., 1] @ wj2, None
+
+    cfg = Config(backbone="DNNOneHot", dims=[D], emb_size=10,
+                 OneHotMatrix=2, mean_type="x0", **HOT)
+    diff_j = Diffusion.create(cfg, index_in=False, variant="legacy")
+    j_losses = []
+    for d in range(draws):
+        lt = LtState.create(cfg.steps)
+        loss, _, _ = diff_j.training_losses(
+            apply_j, None, jnp.asarray(x0), jnp.arange(128),
+            jax.random.PRNGKey(d), lt, reweight=True, train=False)
+        j_losses.append(np.asarray(loss))
+    j_all = np.concatenate(j_losses)
+
+    np.testing.assert_allclose(j_all.mean(), t_all.mean(), rtol=0.02)
+    np.testing.assert_allclose(j_all.std(), t_all.std(), rtol=0.10)
+
+
+def test_legacy_catonehot_draws_two_timesteps(monkeypatch):
+    """Directly discriminative form of the above (the moments check is
+    parity evidence but second-order in the correlation): the legacy
+    CatOneHot path must call sample_timesteps TWICE — first draw for
+    x_tU's corruption, second for the model/weights — exactly like the
+    reference (:281-291 then :294-300). Pre-fix the engine reused one
+    draw (one call)."""
+    from gdmcf_tpu.diffusion.engine import Diffusion as _Diff
+
+    cfg = Config(backbone="DNNOneHot", dims=[D], emb_size=10,
+                 OneHotMatrix=2, mean_type="x0", **LEGACY_RECIPE)
+    diff = _Diff.create(cfg, index_in=False, variant="legacy")
+    calls = []
+    orig = _Diff.sample_timesteps
+
+    def spy(self, key, lt, n):
+        ts, pt = orig(self, key, lt, n)
+        calls.append(np.asarray(ts))
+        return ts, pt
+
+    monkeypatch.setattr(_Diff, "sample_timesteps", spy)
+    seen_ts = []
+
+    def apply_j(params, x, ts, x_U=None, index=None, graph=None,
+                rcloss=False, train=True, rng=None):
+        seen_ts.append(np.asarray(ts))
+        return x * 0.5 + x_U[..., 1] * 0.1, None
+
+    x0 = (np.random.default_rng(0).random((64, N_ITEM)) < 0.25
+          ).astype(np.float32)
+    lt = LtState.create(cfg.steps)
+    diff.training_losses(apply_j, None, jnp.asarray(x0), jnp.arange(64),
+                         jax.random.PRNGKey(0), lt, reweight=True,
+                         train=False)
+    assert len(calls) == 2, f"expected two independent draws, saw {len(calls)}"
+    assert not np.array_equal(calls[0], calls[1])  # independent streams
+    # the model conditions on exactly ONE of the draws; the other
+    # (independent) one corrupted x_tU. Code order differs from the
+    # reference (ours draws the model ts first) — irrelevant, since both
+    # draws come from the same Lt state and distinct key folds.
+    assert (np.array_equal(seen_ts[0], calls[0])
+            != np.array_equal(seen_ts[0], calls[1]))

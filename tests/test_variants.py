@@ -182,3 +182,27 @@ def test_legacy_apply_noise_x_base_blend():
     out = diff.legacy_apply_noise(jax.random.PRNGKey(2), ts, x, x_base=base)
     # 99% of cells come from x_base (=0)
     assert float(np.asarray(out).mean()) < 0.05
+
+
+def test_noise_scale_zero_refuses_graph_backbone():
+    """noise_scale=0's degenerate reverse path has no synthetic graph; a
+    graph-dereferencing backbone (the GCN family) would crash with an
+    opaque mid-trace TypeError — the reference crashes identically
+    (model(x_t, t, x_tU) at gaussian_diffusion.py:699 vs DNN.py:1241's
+    unconditional graph.argmax). The Trainer must refuse loudly at
+    construction (round-5 review finding)."""
+    import pytest
+
+    from gdmcf_tpu.config import Config
+    from gdmcf_tpu.train.trainer import Trainer
+
+    cfg = Config(backbone="DNNOneHotEmbeddingGCN", dims=[32], emb_size=10,
+                 steps=5, noise_scale=0.0, reweight=False, batch_size=16,
+                 sampling_steps=0)
+    with pytest.raises(ValueError, match="noise_scale=0 cannot serve"):
+        Trainer(cfg, 64, 48)
+    # graph-free backbones keep working in the degenerate mode
+    cfg_ok = Config(backbone="DNN", dims=[32], emb_size=10, steps=5,
+                    noise_scale=0.0, reweight=False, batch_size=16,
+                    sampling_steps=0)
+    Trainer(cfg_ok, 64, 48)
