@@ -141,6 +141,20 @@ class RowSlice:
         return g(np.asarray(idx) + self.offset)
 
 
+def epoch_stop(n: int, batch_size: int, drop_last: bool) -> int:
+    """Row count an epoch iterates (the ONE place for the drop-last rule —
+    trainer eval paths share it; three hand-copies once risked drift).
+
+    drop_last trims to full batches, EXCEPT the degenerate case where the
+    dataset is smaller than one batch: the reference's drop_last would
+    train/eval on nothing and then crash — serve the single partial batch
+    instead."""
+    stop = (n // batch_size) * batch_size if drop_last else n
+    if stop == 0 and n > 0:
+        stop = n
+    return stop
+
+
 def epoch_batches(
     dataset: DiffusionDataset,
     batch_size: int,
@@ -164,12 +178,7 @@ def epoch_batches(
         if rng is None:
             rng = np.random.default_rng()
         rng.shuffle(order)
-    stop = (n // batch_size) * batch_size if drop_last else n
-    if stop == 0 and n > 0:
-        # degenerate case (dataset smaller than one batch): the reference's
-        # drop_last would train/eval on nothing and then crash; serve the
-        # single partial batch instead
-        stop = n
+    stop = epoch_stop(n, batch_size, drop_last)
     if packed:
         gather = getattr(dataset, "gather_packed", None)
         if gather is None:

@@ -464,7 +464,18 @@ class Trainer:
             # cost a device->host round trip on the multi-host path)
             if offset:
                 idx = idx + np.int32(offset)  # slice position -> global id
-            pending.append(self._put_batch(x, idx))
+            placed = self._put_batch(x, idx)
+            if k > 1 and pending and placed[0].shape != pending[0][0].shape:
+                # trailing partial batch (drop_last=False): it cannot stack
+                # into the k-group — jnp.stack over mixed shapes raises and
+                # kills the epoch when ceil(n/bs) % k == 0. Drain the
+                # equal-shape pending as single steps (the same path the
+                # post-loop remainder takes) and let the partial follow.
+                for xp, ip in pending:
+                    state, l = self._train_step(state, xp, ip)
+                    losses.append(l)
+                pending.clear()
+            pending.append(placed)
             if k > 1 and len(pending) == k:
                 xs = jnp.stack([p[0] for p in pending])
                 iis = jnp.stack([p[1] for p in pending])
@@ -754,9 +765,8 @@ class Trainer:
         cfg = self.cfg
         n = eval_rows.shape[0]
         bs = cfg.batch_size
-        stop = (n // bs) * bs if drop else n
-        if stop == 0 and n > 0:
-            stop = n  # serve the single partial batch (see epoch_batches)
+        from gdmcf_tpu.data.loader import epoch_stop
+        stop = epoch_stop(n, bs, drop)
         from gdmcf_tpu.ops.bitpack import is_binary
 
         # cache bit-packed when possible: 32x less HBM held across training
@@ -788,8 +798,15 @@ class Trainer:
             # the second put reuses the HOST uids for the same reason
             rows, uids = self._put_batch(rows_np, uids_np,
                                          replicate=not sharded)
-            mask, _ = self._put_batch(mask_np, uids_np,
-                                      replicate=not sharded)
+            if mask_matrix is eval_rows:
+                # the train-rows evals (valid + tst_w_val test) mask with
+                # the SAME array they score — reuse the device rows rather
+                # than uploading and holding an identical copy (halves the
+                # cached HBM at dense large-catalog geometries)
+                mask = rows
+            else:
+                mask, _ = self._put_batch(mask_np, uids_np,
+                                          replicate=not sharded)
             batches.append((start, rows, uids, mask, sharded))
         if len(cache) >= 4:  # bound device-memory held by cached splits
             cache.pop(0)
@@ -814,9 +831,8 @@ class Trainer:
         n = len(input_csrs[0])
         bs = cfg.batch_size
         drop = cfg.drop_last if drop_last is None else drop_last
-        stop = (n // bs) * bs if drop else n
-        if stop == 0 and n > 0:
-            stop = n  # serve the single partial batch (see epoch_batches)
+        from gdmcf_tpu.data.loader import epoch_stop
+        stop = epoch_stop(n, bs, drop)
         acc = MetricAccumulator(topn)
         top_k = int(max(topn))  # unsorted topN still ranks enough items
         starts = list(range(0, stop, bs))
@@ -919,17 +935,30 @@ class Trainer:
             checkpointer=None, metric_logger=None):
         cfg = self.cfg
         n_rows = cfg.n_user_cap or train_csr.shape[0]
+
+        def dense_rows(csr):
+            # slice -> astype -> toarray: peak memory O(n_rows x n_item)
+            # f32. todense() on the full CSR first would materialize
+            # [n_user, n_item] float64 (data_load's sums build f64) BEFORE
+            # the cap applies — defeating n_user_cap's purpose (same order
+            # as DiffusionDataset.__init__, data/loader.py)
+            return csr[:n_rows].astype(np.float32).toarray()
+
         if cfg.host_dense:
-            train_rows = np.asarray(train_csr.todense(), dtype=np.float32)[:n_rows]
-            valid_gt = np.asarray(valid_csr.todense(), dtype=np.float32)[:n_rows]
-            test_gt = np.asarray(test_csr.todense(), dtype=np.float32)[:n_rows]
+            train_rows = dense_rows(train_csr)
+            valid_gt = dense_rows(valid_csr)
+            test_gt = dense_rows(test_csr)
             mask_tv = np.clip(train_rows + valid_gt, 0, 1)
             dataset = DiffusionDataset.from_rows(train_rows)
         else:
             from gdmcf_tpu.data.native import NativeCSR
             train_n = NativeCSR.from_scipy(train_csr[:n_rows])
-            valid_n = NativeCSR.from_scipy(valid_csr[:n_rows])
-            test_n = NativeCSR.from_scipy(test_csr[:n_rows])
+            # GT/mask splits are MEMBERSHIP semantics (metrics binarize
+            # with != 0): strict=False so a duplicate (uid,iid) pair in
+            # valid/test — which data_load's COO sum turns into a 2.0
+            # cell — cannot make the whole large-catalog path unrunnable
+            valid_n = NativeCSR.from_scipy(valid_csr[:n_rows], strict=False)
+            test_n = NativeCSR.from_scipy(test_csr[:n_rows], strict=False)
             dataset = train_n
 
         if self._lr_scheduled and self._lr_total_steps == 0:
@@ -942,7 +971,7 @@ class Trainer:
 
         state = self.init_state()
         log(f"Number of all parameters: {self.num_params(state)}")
-        rng = np.random.default_rng(cfg.random_seed)
+
 
         if checkpointer is None and cfg.ckpt_dir:
             from gdmcf_tpu.train.checkpoint import Checkpointer
@@ -999,7 +1028,15 @@ class Trainer:
                 log("Exiting from training early")
                 break
             start_time = time.time()
-            state, total_loss = self.train_epoch(state, dataset, rng)
+            # per-epoch seeded shuffle stream: a resumed run at epoch E
+            # reproduces exactly the permutation the uninterrupted run
+            # would have used (a single fit-lifetime rng restarts at its
+            # epoch-1 state on resume — silent trajectory divergence,
+            # round-5 review finding; the rest of the state IS in the
+            # checkpoint)
+            state, total_loss = self.train_epoch(
+                state, dataset, np.random.default_rng((cfg.random_seed,
+                                                       epoch)))
 
             if epoch % cfg.eval_every == 0:
                 if cfg.host_dense:
