@@ -103,6 +103,18 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.slow)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """XLA:CPU segfaults inside backend_compile once the suite accumulates
+    ~190 tests' worth of live compiled executables (reproduced twice at the
+    same test, solo host, passes in any smaller prefix — cumulative state,
+    not a single poisoning test). Dropping the jit/pjit caches between
+    modules keeps the live-executable population bounded; cross-module
+    compile reuse is minimal anyway (different shapes/configs)."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
