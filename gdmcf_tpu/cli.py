@@ -61,8 +61,15 @@ def main(cfg: Config = None) -> None:
     trainer = Trainer(cfg, n_user=n_user, n_item=n_item, train_csr=train_data)
     print("models ready.")
     from gdmcf_tpu.utils.logging import MetricLogger
-    metric_logger = MetricLogger(out_path, echo=False, text=cfg.debug)
+    metric_logger = MetricLogger(out_path, echo=cfg.debug, text=cfg.debug)
+    # debug mode: stdout is the console, so fit's human-readable lines must
+    # ALSO go through the logger to land in output_NDCG.txt (previously the
+    # text handle was opened and never written — round-5 review finding);
+    # non-debug mode: stdout is already redirected onto that file, print is
+    # the writer and the logger's text handle stays off (double handles on
+    # one file interleave badly)
     state, best = trainer.fit(train_data, valid_y_data, test_y_data,
+                              log=metric_logger.log if cfg.debug else print,
                               metric_logger=metric_logger)
     metric_logger.close()
     print("End time: ",

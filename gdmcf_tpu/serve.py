@@ -8,7 +8,7 @@ shapes keep every request on the cached executable — no recompiles).
 
     from gdmcf_tpu.serve import Recommender
     rec = Recommender.from_checkpoint(cfg, ckpt_dir, train_csr)
-    items, scores = rec.recommend(user_ids=[3, 17, 42], k=20)
+    items, uids = rec.recommend(user_ids=[3, 17, 42], k=20)
 
 CLI demo:  python -m gdmcf_tpu.serve -c configs/yelpOneEmbGcn.yaml \
                --ckpt_dir ./ckpt --data_path ./Datasets/yelp_clean/
@@ -158,7 +158,6 @@ class Recommender:
         """Top-k item ids (+ the full catalog rank source scores are on
         device only). Requests of any size are served by padding to the
         fixed ``serve_batch`` shape; returns ([n, k] items, [n] user_ids)."""
-        cfg = self.trainer.cfg
         if not 1 <= k <= self.k_max:
             raise ValueError(f"k={k} outside [1, k_max={self.k_max}] — the "
                              "serving program is compiled once at k_max")
@@ -223,7 +222,15 @@ def build_recommender(cfg: Config, ckpt_dir, train_csr, n_user: int,
     checkpoint (falling back to fresh-init demo mode), build, warm up."""
     import os
 
-    if ckpt_dir and os.path.isdir(ckpt_dir):
+    if ckpt_dir:
+        # an EXPLICIT checkpoint dir that doesn't exist is an operator
+        # error (typo, unmounted volume) — refuse rather than silently
+        # serving random fresh-init recommendations to live traffic
+        # (round-5 review finding); demo mode is only for NO dir given
+        if not os.path.isdir(ckpt_dir):
+            raise FileNotFoundError(
+                f"--ckpt_dir_serve {ckpt_dir!r} does not exist or is not "
+                "a directory; omit the flag for fresh-init demo mode")
         rec = Recommender.from_checkpoint(cfg, ckpt_dir, train_csr, **kw)
         print(f"loaded checkpoint from {ckpt_dir}")
     else:

@@ -56,7 +56,8 @@ class Coalescer:
     def __init__(self, recommender):
         self.rec = recommender
         self._cv = threading.Condition()
-        self._pending: list[_Waiter] = []
+        from collections import deque
+        self._pending: "deque[_Waiter]" = deque()  # O(1) FIFO popleft
         # observability: served request/row/dispatch counters (/healthz)
         self.stats = {"requests": 0, "rows": 0, "dispatches": 0,
                       "coalesced": 0}
@@ -65,8 +66,23 @@ class Coalescer:
         self._thread.start()
 
     def submit(self, users, k: int, exclude: bool):
-        """Blocking: returns the [n, k] item matrix for this request."""
+        """Blocking: returns the [n, k] item matrix for this request.
+
+        Validates ids HERE — the choke point every entry path funnels
+        through (HTTP handler, Backend unix-socket RPC, in-process calls).
+        The HTTP handler has its own friendly 400s, but the RPC path used
+        to forward unpickled client ids straight into the native CSR
+        gather, whose C++ indptr read has no bounds check — a
+        version-skewed front or operator script could segfault the
+        chip-owning process (round-5 review finding)."""
         users = np.asarray(users, dtype=np.int32)
+        if users.size == 0:
+            raise ValueError("empty users list")
+        n_user = self.rec.history.n_user
+        if users.min() < 0 or users.max() >= n_user:
+            raise ValueError(
+                f"user ids must be in [0, {n_user}); got range "
+                f"[{int(users.min())}, {int(users.max())}]")
         bs = self.rec.serve_batch
         waiters = [_Waiter(users[i:i + bs], exclude)
                    for i in range(0, users.size, bs)]
@@ -89,21 +105,25 @@ class Coalescer:
                 self._cv.wait()
             batch, room = [], self.rec.serve_batch
             while self._pending and self._pending[0].users.size <= room:
-                w = self._pending.pop(0)
-                batch.append(w)
-                room -= w.users.size
+                batch.append(self._pending.popleft())
+                room -= batch[-1].users.size
             return batch
 
     def _loop(self):
         while True:
             batch = self._take_batch()
-            users = np.concatenate([w.users for w in batch])
-            excl = np.concatenate([np.full(w.users.size, w.exclude, bool)
-                                   for w in batch])
-            with self._cv:
-                self.stats["dispatches"] += 1
-                self.stats["coalesced"] += len(batch) - 1
+            # EVERYTHING after take is guarded: this is the sole dispatcher
+            # thread — an unguarded failure (e.g. MemoryError in the
+            # concatenates, which used to sit outside the try) killed it
+            # silently, wedging every queued AND future request forever
+            # while /healthz stayed green (round-5 review finding)
             try:
+                users = np.concatenate([w.users for w in batch])
+                excl = np.concatenate([np.full(w.users.size, w.exclude,
+                                               bool) for w in batch])
+                with self._cv:
+                    self.stats["dispatches"] += 1
+                    self.stats["coalesced"] += len(batch) - 1
                 ranked = self.rec.recommend_batch(users, excl)
             except Exception as e:  # surface to every caller in this batch
                 for w in batch:
@@ -176,21 +196,30 @@ def supervise_fronts(backend, fronts, host: str, port: int,
 
     from gdmcf_tpu.serve_front import spawn_fronts
 
-    restarts_left = (3 * len(fronts) if max_restarts is None
-                     else max_restarts)
+    budget = 3 * len(fronts) if max_restarts is None else max_restarts
+    window_s = 300.0
+    recent = []  # restart timestamps inside the sliding window
     while stop_event is None or not stop_event.is_set():
         _time.sleep(poll_s)
         for i, p in enumerate(fronts):
             rc = p.poll()
             if rc is None:
                 continue
-            if restarts_left <= 0:
+            # crash-LOOP detector, not a lifetime fuse: the budget applies
+            # to restarts within a sliding window, so isolated crashes
+            # spread over days (host OOM killer etc.) never exhaust it and
+            # tear the whole serving group down (round-5 review finding)
+            now = _time.monotonic()
+            recent = [t for t in recent if now - t < window_s]
+            if len(recent) >= budget:
                 raise RuntimeError(
-                    f"front pid {p.pid} exited rc={rc} and the restart "
-                    f"budget is exhausted — shutting down")
-            restarts_left -= 1
+                    f"front pid {p.pid} exited rc={rc}: {len(recent)} "
+                    f"restarts inside {window_s:.0f} s — crash loop, "
+                    "shutting down")
+            recent.append(now)
             print(f"front pid {p.pid} exited rc={rc}; respawning "
-                  f"({restarts_left} restarts left)", flush=True)
+                  f"({budget - len(recent)} window restarts left)",
+                  flush=True)
             fronts[i] = spawn_fronts(1, backend.sock_path, host, port)[0]
 
 

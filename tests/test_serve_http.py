@@ -296,7 +296,7 @@ def test_multiproc_supervisor_respawns_dead_front(server):
         deadline = time.time() + 20
         while not sup_err and time.time() < deadline:
             time.sleep(0.1)
-        assert sup_err and "restart budget" in str(sup_err[0])
+        assert sup_err and "crash loop" in str(sup_err[0])
     finally:
         stop.set()
         t.join(timeout=10) if t.ident else None
